@@ -1,0 +1,163 @@
+"""Core Gaussian math: quaternions, covariance build/strip, activations.
+
+Semantics match the reference model layer (see
+/root/reference/utils/general_utils.py:64-109 and
+/root/reference/gaussian_renderer/.../cuda_rasterizer/forward.cu:118-152),
+re-derived as batched jnp: quaternion (w, x, y, z) -> rotation matrix,
+L = R @ diag(s), world covariance Sigma = L @ L^T, stored as the 6 upper
+coefficients (xx, xy, xz, yy, yz, zz).
+
+All functions are vectorized over a leading batch axis and jit-safe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def inverse_sigmoid(x: jax.Array) -> jax.Array:
+    return jnp.log(x / (1.0 - x))
+
+
+def normalize(v: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
+    """L2-normalize along `axis`.
+
+    With eps=0 this matches the reference `jt.normalize` used for
+    quaternions (reference normalizes quats in the model layer, not the
+    kernel — /root/reference/scene/gaussian_model.py:41).
+    """
+    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    if eps:
+        n = jnp.maximum(n, eps)
+    return v / n
+
+
+def quat_to_rotmat(q: jax.Array) -> jax.Array:
+    """Quaternion(s) (..., 4) in (w, x, y, z) order -> rotation matrices (..., 3, 3).
+
+    Does NOT normalize: mirrors the reference kernel behavior
+    (forward.cu:127 comments out normalization; the model layer normalizes
+    via `get_rotation` before the kernel sees it).
+    """
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rotmat_to_quat(R: jax.Array) -> jax.Array:
+    """Rotation matrices (..., 3, 3) -> quaternions (..., 4) (w, x, y, z).
+
+    Branch-free Shepperd-style selection (jit-safe): compute all four
+    candidate quaternions and pick the numerically strongest one.
+    Used by the edit runtime when converting deformed covariances back to
+    (scale, quat) form (reference: edittool/__init__.py:23-38,204-207).
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+
+    tw = 1.0 + m00 + m11 + m22   # 4w^2
+    tx = 1.0 + m00 - m11 - m22   # 4x^2
+    ty = 1.0 - m00 + m11 - m22   # 4y^2
+    tz = 1.0 - m00 - m11 + m22   # 4z^2
+
+    def _safe_sqrt(t):
+        return jnp.sqrt(jnp.maximum(t, 1e-12))
+
+    # candidate from w
+    sw = _safe_sqrt(tw)
+    qw = jnp.stack([0.5 * sw, 0.5 * (m21 - m12) / sw, 0.5 * (m02 - m20) / sw,
+                    0.5 * (m10 - m01) / sw], axis=-1)
+    sx = _safe_sqrt(tx)
+    qx = jnp.stack([0.5 * (m21 - m12) / sx, 0.5 * sx, 0.5 * (m01 + m10) / sx,
+                    0.5 * (m02 + m20) / sx], axis=-1)
+    sy = _safe_sqrt(ty)
+    qy = jnp.stack([0.5 * (m02 - m20) / sy, 0.5 * (m01 + m10) / sy, 0.5 * sy,
+                    0.5 * (m12 + m21) / sy], axis=-1)
+    sz = _safe_sqrt(tz)
+    qz = jnp.stack([0.5 * (m10 - m01) / sz, 0.5 * (m02 + m20) / sz,
+                    0.5 * (m12 + m21) / sz, 0.5 * sz], axis=-1)
+
+    t_all = jnp.stack([tw, tx, ty, tz], axis=-1)
+    best = jnp.argmax(t_all, axis=-1)
+    q_all = jnp.stack([qw, qx, qy, qz], axis=-2)  # (..., 4, 4)
+    q = jnp.take_along_axis(q_all, best[..., None, None].repeat(4, axis=-1), axis=-2)
+    q = q[..., 0, :]
+    # canonicalize sign (w >= 0)
+    q = jnp.where(q[..., :1] < 0, -q, q)
+    return normalize(q)
+
+
+def build_scaling_rotation(s: jax.Array, q: jax.Array) -> jax.Array:
+    """L = R @ diag(s), (..., 3, 3). Reference: utils/general_utils.py:100-109."""
+    R = quat_to_rotmat(q)
+    return R * s[..., None, :]  # R @ diag(s) == columns scaled
+
+
+def build_covariance(scaling: jax.Array, rotation_q: jax.Array,
+                     scaling_modifier: float = 1.0) -> jax.Array:
+    """World covariance Sigma = L L^T as full (..., 3, 3) symmetric matrices."""
+    L = build_scaling_rotation(scaling_modifier * scaling, rotation_q)
+    return L @ jnp.swapaxes(L, -1, -2)
+
+
+def strip_symmetric(sym: jax.Array) -> jax.Array:
+    """(..., 3, 3) symmetric -> (..., 6) upper coefficients (xx,xy,xz,yy,yz,zz)."""
+    return jnp.stack(
+        [sym[..., 0, 0], sym[..., 0, 1], sym[..., 0, 2],
+         sym[..., 1, 1], sym[..., 1, 2], sym[..., 2, 2]],
+        axis=-1,
+    )
+
+
+def unstrip_symmetric(c6: jax.Array) -> jax.Array:
+    """(..., 6) upper coefficients -> full symmetric (..., 3, 3)."""
+    xx, xy, xz, yy, yz, zz = (c6[..., i] for i in range(6))
+    return jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], axis=-1),
+            jnp.stack([xy, yy, yz], axis=-1),
+            jnp.stack([xz, yz, zz], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def covariance_6(scaling: jax.Array, rotation_q: jax.Array,
+                 scaling_modifier: float = 1.0) -> jax.Array:
+    """Sigma as (..., 6) uppers — the form the rasterizer consumes."""
+    return strip_symmetric(build_covariance(scaling, rotation_q, scaling_modifier))
+
+
+def polar_decompose_rs(A: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Polar decomposition A = R S of (..., 3, 3) matrices via SVD.
+
+    Returns (R, S) with R a proper rotation (det=+1) and S symmetric PSD.
+    This is the TPU-native replacement for the reference's native ACAP
+    GetRS output form (per-vertex deformation-gradient factors;
+    SURVEY.md §2.9). Batched over leading axes; safe under jit.
+    """
+    U, s, Vt = jnp.linalg.svd(A)
+    # enforce proper rotation: flip the smallest singular vector when det<0
+    det = jnp.linalg.det(U @ Vt)
+    flip = jnp.where(det < 0, -1.0, 1.0)
+    D = jnp.ones_like(s).at[..., -1].set(flip)
+    R = (U * D[..., None, :]) @ Vt
+    S = jnp.swapaxes(Vt, -1, -2) @ (s[..., :, None] * D[..., :, None] * Vt)
+    return R, S

@@ -1,0 +1,120 @@
+"""Production rasterizer (binning + tile blend) vs the oracle, + gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussianmesh_tpu.ops import oracle
+from gaussianmesh_tpu.ops.rasterize import RasterizerConfig, rasterize
+from tests.scenes import look_at_camera, random_gaussians
+
+W = H = 64
+BG = jnp.asarray([0.15, 0.25, 0.35])
+
+
+def _cfg(use_pallas: bool, **kw):
+    base = dict(width=W, height=H, max_per_tile=256,
+                max_tiles_per_gaussian=64, blend_chunk=128,
+                use_pallas=use_pallas)
+    base.update(kw)
+    return RasterizerConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cam = look_at_camera(W, H)
+    sc = random_gaussians(400, seed=3)
+    return cam, sc
+
+
+def test_jnp_pipeline_matches_oracle(scene):
+    cam, sc = scene
+    out = rasterize(sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"],
+                    BG, cam, _cfg(False))
+    ref = oracle.render_oracle(sc["means3d"], sc["cov6"], sc["opacity"],
+                               sc["rgb"], cam, W, H, BG)
+    assert int(out.tile_overflow) == 0 and int(out.rect_overflow) == 0
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.final_t), np.asarray(ref.final_t),
+                               atol=3e-5)
+    np.testing.assert_array_equal(np.asarray(out.n_contrib, np.int32),
+                                  np.asarray(ref.n_contrib))
+
+
+def test_pallas_interpret_matches_jnp(scene):
+    cam, sc = scene
+    out_j = rasterize(sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"],
+                      BG, cam, _cfg(False))
+    with jax.disable_jit():  # interpret-mode pallas runs under disable_jit on CPU
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            out_p = rasterize(sc["means3d"], sc["cov6"], sc["opacity"],
+                              sc["rgb"], BG, cam, _cfg(True))
+    np.testing.assert_allclose(np.asarray(out_p.color), np.asarray(out_j.color),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.final_t),
+                               np.asarray(out_j.final_t), atol=1e-5)
+
+
+def _loss_fn(use_pallas):
+    cfg = _cfg(use_pallas)
+
+    def loss(means3d, cov6, opacity, rgb, cam, target):
+        out = rasterize(means3d, cov6, opacity, rgb, BG, cam, cfg)
+        return jnp.sum((out.color - target) ** 2) + 0.1 * jnp.sum(out.final_t)
+
+    return loss
+
+
+def test_gradients_flow_and_match_oracle(scene):
+    """Autodiff grads through the production jnp pipeline vs oracle renderer."""
+    cam, sc = scene
+    target = jnp.zeros((3, H, W))
+
+    def oracle_loss(means3d, cov6, opacity, rgb):
+        out = oracle.render_oracle(means3d, cov6, opacity, rgb, cam, W, H, BG)
+        return jnp.sum((out.color - target) ** 2) + 0.1 * jnp.sum(out.final_t)
+
+    loss = _loss_fn(False)
+    g_pipe = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"], cam, target)
+    g_orac = jax.grad(oracle_loss, argnums=(0, 1, 2, 3))(
+        sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"])
+    for gp, go, name in zip(g_pipe, g_orac, ["means", "cov6", "op", "rgb"]):
+        gp, go = np.asarray(gp), np.asarray(go)
+        scale = np.abs(go).max() + 1e-8
+        np.testing.assert_allclose(gp / scale, go / scale, atol=2e-4,
+                                   err_msg=name)
+
+
+def test_pallas_interpret_grads_match_jnp(scene):
+    cam, sc = scene
+    target = jnp.zeros((3, H, W))
+    args = (sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"], cam, target)
+    g_j = jax.grad(_loss_fn(False), argnums=(0, 1, 2, 3))(*args)
+    from jax.experimental.pallas import tpu as pltpu
+    with jax.disable_jit(), pltpu.force_tpu_interpret_mode():
+        g_p = jax.grad(_loss_fn(True), argnums=(0, 1, 2, 3))(*args)
+    for gj, gp, name in zip(g_j, g_p, ["means", "cov6", "op", "rgb"]):
+        gj, gp = np.asarray(gj), np.asarray(gp)
+        scale = np.abs(gj).max() + 1e-8
+        np.testing.assert_allclose(gp / scale, gj / scale, atol=2e-4,
+                                   err_msg=name)
+
+
+def test_finite_difference_check():
+    """check_grads on a tiny scene through the full jnp pipeline."""
+    cam = look_at_camera(32, 32)
+    sc = random_gaussians(40, seed=9)
+    cfg = RasterizerConfig(width=32, height=32, max_per_tile=128,
+                           max_tiles_per_gaussian=16, use_pallas=False)
+
+    def f(opacity, rgb):
+        out = rasterize(sc["means3d"], sc["cov6"], opacity, rgb, BG, cam, cfg)
+        return jnp.sum(out.color ** 2)
+
+    from jax.test_util import check_grads
+    check_grads(f, (sc["opacity"], sc["rgb"]), order=1, modes=("rev",),
+                atol=2e-2, rtol=2e-2)
