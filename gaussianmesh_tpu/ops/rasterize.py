@@ -71,7 +71,8 @@ def _assemble(tile_img: jax.Array, cfg: RasterizerConfig) -> jax.Array:
 def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
               rgb: jax.Array, bg: jax.Array, cam: CameraArrays,
               cfg: RasterizerConfig,
-              mean2d_offset: jax.Array | None = None) -> RasterizeOut:
+              mean2d_offset: jax.Array | None = None,
+              active_mask: jax.Array | None = None) -> RasterizeOut:
     """Render N Gaussians (world means, 3D covariance uppers, activated
     opacity in [0,1], per-view RGB) against background color `bg` (3,).
 
@@ -83,6 +84,13 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
     """
     gx, gy = cfg.grid
     prep = prep_mod.preprocess(means3d, cov6, cam, cfg.width, cfg.height)
+    if active_mask is not None:
+        # capacity+mask models: dead slots are culled entirely
+        prep = prep._replace(
+            valid=prep.valid & active_mask,
+            radius=jnp.where(active_mask, prep.radius, 0),
+            tiles_touched=jnp.where(active_mask, prep.tiles_touched, 0),
+        )
 
     prep_static = jax.tree.map(jax.lax.stop_gradient, prep)
     tiles = binning.build_tile_lists(

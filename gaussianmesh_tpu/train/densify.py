@@ -1,0 +1,181 @@
+"""Densification as static-shape masked compaction.
+
+The reference grows/shrinks tensors and performs Adam-state surgery in the
+optimizer (scene/mesh_based_gaussian_model.py:411-563, SURVEY.md §2.4) —
+impossible under jit. Here every model lives in fixed-capacity arrays with
+an `alive` mask; densification is a jitted scatter:
+
+  * mesh model: `densify_and_split` — high-gradient Gaussians' triangles
+    are midpoint-subdivided (1->4, or 1->5 keeping a parent copy), children
+    written into free slots, parents retired, Adam moments zeroed at the
+    new slots, three fresh vertices appended per split face. Mirrors
+    densify_and_split(:504-563) including its quirks we keep deliberately:
+    children inherit the PARENT's `r` (offset amplitude) and fid; scale
+    divided by 4*0.8; bc logits reset to 1/3; distance reset to 0; all
+    densification statistics reset to zero afterwards.
+  * `split_all_for_init` reuses the same kernel with everything selected
+    and N=4 (densify_and_split_for_init:596-647, driven until >100K).
+
+Capacity exhaustion is reported, never silent: callers grow capacity on
+the host (one recompile) when `dropped > 0`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussianmesh_tpu.models.mesh_gaussians import (
+    MeshBinding, MeshGaussianParams, MeshGaussianState, MeshVertices,
+    empty_state)
+from gaussianmesh_tpu.utils.subdivision import _CHILD_IDX_CODE, _CHILD_W
+
+LOG_SCALE_SHRINK = jnp.log(4.0 * 0.8)  # scale /= 4*0.8 on split (:544)
+
+
+class SplitResult(NamedTuple):
+    params: MeshGaussianParams
+    binding: MeshBinding
+    mesh_v: MeshVertices
+    mu: MeshGaussianParams        # Adam first moments (same tree)
+    nu: MeshGaussianParams        # Adam second moments
+    state: MeshGaussianState
+    n_split: jax.Array            # () int32 — parents actually split
+    dropped: jax.Array            # () int32 — selected but no room
+
+
+@functools.partial(jax.jit, static_argnames=("n_children", "max_split"))
+def densify_and_split(params: MeshGaussianParams, binding: MeshBinding,
+                      mesh_v: MeshVertices, mu: MeshGaussianParams,
+                      nu: MeshGaussianParams, state: MeshGaussianState,
+                      grads_avg: jax.Array, threshold: float,
+                      n_children: int, max_split: int) -> SplitResult:
+    c = binding.alive.shape[0]
+    nch = n_children
+
+    # --- select parents (highest gradient first, capped at max_split) ----
+    scores = jnp.where(binding.alive & (grads_avg >= threshold),
+                       grads_avg, -jnp.inf)
+    top_scores, sel_idx = jax.lax.top_k(scores, max_split)
+    sel_ok = top_scores > -jnp.inf                     # prefix mask
+
+    # --- find free destination slots -------------------------------------
+    is_sel = jnp.zeros(c, bool).at[sel_idx].set(sel_ok, mode="drop")
+    free = (~binding.alive) | is_sel
+    free_idx = jnp.nonzero(free, size=max_split * nch, fill_value=c)[0]
+
+    # parent j is split only if all nch destinations exist (free_idx sorted
+    # ascending, so checking the last child's slot suffices)
+    last_slot = free_idx[jnp.arange(max_split) * nch + (nch - 1)]
+    parent_ok = sel_ok & (last_slot < c)
+    n_split = jnp.sum(parent_ok)
+    dropped = jnp.sum(sel_ok) - n_split
+
+    # --- child geometry ---------------------------------------------------
+    k_ids = jnp.arange(max_split * nch)
+    pj = k_ids // nch                                  # parent rank
+    cid = k_ids % nch                                  # child index
+    parent = sel_idx[pj]
+    ok = parent_ok[pj]
+    dest = jnp.where(ok, free_idx[k_ids], c)
+
+    pv1 = binding.vertex1[parent]
+    pv2 = binding.vertex2[parent]
+    pv3 = binding.vertex3[parent]
+    corners = jnp.stack([pv1, pv2, pv3], axis=1)       # (K, 3, 3)
+    w = _CHILD_W[cid]                                  # (K, 3vert, 3corner)
+    child = jnp.einsum("kvc,kcd->kvd", w, corners)     # (K, 3vert, 3)
+
+    # new vertices: 3 per split parent, prefix-packed after mesh_v.count
+    vbase = mesh_v.count + 3 * pj
+    code = _CHILD_IDX_CODE[cid]                        # (K, 3)
+    parent_vidx = binding.vertex_index[parent]
+    child_vidx = jnp.where(code < 3,
+                           jnp.take_along_axis(parent_vidx,
+                                               jnp.clip(code, 0, 2), axis=1),
+                           vbase[:, None] + jnp.clip(code - 3, 0, 2))
+
+    # --- scatter params ---------------------------------------------------
+    def scat(arr, child_vals):
+        return arr.at[dest].set(child_vals, mode="drop")
+
+    new_params = MeshGaussianParams(
+        bc=scat(params.bc, jnp.full((k_ids.shape[0], 3), 1.0 / 3.0)),
+        distance=scat(params.distance, jnp.zeros((k_ids.shape[0], 1))),
+        features_dc=scat(params.features_dc, params.features_dc[parent]),
+        features_rest=scat(params.features_rest, params.features_rest[parent]),
+        scaling=scat(params.scaling, params.scaling[parent] - LOG_SCALE_SHRINK),
+        rotation=scat(params.rotation, params.rotation[parent]),
+        opacity=scat(params.opacity, params.opacity[parent]),
+    )
+
+    kill = jnp.zeros(c, bool).at[sel_idx].set(parent_ok, mode="drop")
+    alive = (binding.alive & ~kill).at[dest].set(True, mode="drop")
+
+    new_binding = MeshBinding(
+        vertex1=scat(binding.vertex1, child[:, 0]),
+        vertex2=scat(binding.vertex2, child[:, 1]),
+        vertex3=scat(binding.vertex3, child[:, 2]),
+        vertex_index=scat(binding.vertex_index, child_vidx.astype(jnp.int32)),
+        fid=scat(binding.fid, binding.fid[parent]),
+        normal=scat(binding.normal, binding.normal[parent]),
+        r=scat(binding.r, binding.r[parent]),
+        alive=alive,
+    )
+
+    # --- new mesh vertices (midpoints, reference layout m_ab, m_ac, m_bc) -
+    mids = jnp.stack([(pv1 + pv2) * 0.5, (pv1 + pv3) * 0.5,
+                      (pv2 + pv3) * 0.5], axis=1)      # (K, 3, 3)
+    pj_first = (cid == 0) & ok
+    vdest = jnp.where(pj_first[:, None],
+                      vbase[:, None] + jnp.arange(3)[None, :],
+                      mesh_v.v.shape[0])
+    new_v = mesh_v.v.at[vdest.reshape(-1)].set(
+        mids.reshape(-1, 3), mode="drop")
+    new_mesh_v = MeshVertices(v=new_v, count=mesh_v.count + 3 * n_split)
+
+    new_mu = jax.tree.map(lambda m: m.at[dest].set(0.0, mode="drop"), mu)
+    new_nu = jax.tree.map(lambda m: m.at[dest].set(0.0, mode="drop"), nu)
+
+    return SplitResult(
+        params=new_params, binding=new_binding, mesh_v=new_mesh_v,
+        mu=new_mu, nu=new_nu, state=empty_state(c),
+        n_split=n_split, dropped=dropped,
+    )
+
+
+def split_all_for_init(params, binding, mesh_v, mu, nu, state,
+                       max_split: int):
+    """1->4 split of every alive Gaussian (init loop until >100K)."""
+    grads = jnp.where(binding.alive, 1.0, 0.0)
+    return densify_and_split(params, binding, mesh_v, mu, nu, state,
+                             grads, 0.5, 4, max_split)
+
+
+def reset_opacity(params: MeshGaussianParams) -> MeshGaussianParams:
+    """opacity <- min(opacity, 0.01) in activated space, every 3000 iters
+    (mesh_based_gaussian_model.py:334-339)."""
+    op = jax.nn.sigmoid(params.opacity)
+    new = jnp.log(jnp.minimum(op, 0.01) / (1.0 - jnp.minimum(op, 0.01)))
+    return params.replace(opacity=new)
+
+
+def add_densification_stats(state: MeshGaussianState, mean2d_grad: jax.Array,
+                            visibility: jax.Array, width: int,
+                            height: int) -> MeshGaussianState:
+    """Accumulate ||dL/d mean2d|| in the reference's NDC-half units
+    (pixel-grad x (W/2, H/2) — backward.cu:460-461), over visible only."""
+    scaled = mean2d_grad * jnp.array([0.5 * width, 0.5 * height])
+    norm = jnp.linalg.norm(scaled, axis=-1)
+    return state.replace(
+        grad_accum=state.grad_accum + jnp.where(visibility, norm, 0.0),
+        denom=state.denom + visibility.astype(jnp.float32),
+    )
+
+
+def grads_avg(state: MeshGaussianState) -> jax.Array:
+    g = state.grad_accum / jnp.maximum(state.denom, 1.0)
+    return jnp.nan_to_num(g, nan=0.0)
