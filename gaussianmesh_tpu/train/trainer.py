@@ -1,0 +1,319 @@
+"""Mesh-Gaussian training loop — the train_mesh_gaussian.py equivalent.
+
+Structure (reference: /root/reference/train_mesh_gaussian.py:33-174):
+init one Gaussian per proxy-mesh face, 1->4 subdivide until >100K, then
+per iteration: pick a random camera, render, (1-l)L1 + l(1-SSIM) +
+mesh-restrict loss, Adam step with scheduled lrs, densify-by-subdivision
+every 200 iters in [500, 15000] (N=5), opacity reset every 3000, SH degree
+up every 1000.
+
+TPU-first differences:
+- the whole dataset lives on device as uint8; each step gathers its camera
+  inside jit (no host->device transfer per step);
+- one fused jitted train step (render fwd+bwd, optimizer, stats) with
+  donated buffers;
+- densification is the jitted masked compaction from train.densify;
+  capacity grows host-side (pad + one recompile) when it reports overflow;
+- the reference's skip-optimizer-step-on-densify-iters quirk
+  (train_mesh_gaussian.py:140-141) is not replicated.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gaussianmesh_tpu.config import OptimizationParams, RuntimeParams
+from gaussianmesh_tpu.data.cameras import Camera
+from gaussianmesh_tpu.models import mesh_gaussians as mgs
+from gaussianmesh_tpu.models import render as render_mod
+from gaussianmesh_tpu.ops.preprocess import CameraArrays
+from gaussianmesh_tpu.ops.rasterize import RasterizerConfig
+from gaussianmesh_tpu.train import densify as densify_mod
+from gaussianmesh_tpu.train import loss as loss_mod
+from gaussianmesh_tpu.train import optim as optim_mod
+
+
+@dataclass
+class DeviceDataset:
+    """All training views resident on device (uint8 images)."""
+    view: jax.Array      # (N, 4, 4)
+    proj: jax.Array      # (N, 4, 4)
+    campos: jax.Array    # (N, 3)
+    tanfovx: jax.Array   # (N,)
+    tanfovy: jax.Array   # (N,)
+    images: jax.Array    # (N, 3, H, W) uint8
+    masks: jax.Array | None  # (N, 1, H, W) uint8 or None
+    width: int
+    height: int
+
+    @staticmethod
+    def from_cameras(cams: list[Camera]) -> "DeviceDataset":
+        h, w = cams[0].image.shape[-2:]
+        for c in cams:
+            assert c.image.shape[-2:] == (h, w), \
+                "all cameras must share a resolution for the fused step"
+        mats = [c.arrays_np() for c in cams]
+        imgs = np.stack([(c.image * 255).astype(np.uint8) for c in cams])
+        masks = None
+        if cams[0].mask is not None:
+            masks = jnp.asarray(np.stack(
+                [(c.mask * 255).astype(np.uint8) for c in cams]))
+        return DeviceDataset(
+            view=jnp.asarray(np.stack([m[0] for m in mats])),
+            proj=jnp.asarray(np.stack([m[1] for m in mats])),
+            campos=jnp.asarray(np.stack([m[2] for m in mats])),
+            tanfovx=jnp.asarray(np.stack([m[3] for m in mats])),
+            tanfovy=jnp.asarray(np.stack([m[4] for m in mats])),
+            images=jnp.asarray(imgs),
+            masks=masks,
+            width=w, height=h,
+        )
+
+    def camera(self, idx) -> CameraArrays:
+        return CameraArrays(
+            viewmatrix=self.view[idx], projmatrix=self.proj[idx],
+            campos=self.campos[idx], tanfovx=self.tanfovx[idx],
+            tanfovy=self.tanfovy[idx])
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def pad_axis0(tree, new_cap: int):
+    def pad(x):
+        if x.ndim == 0:
+            return x
+        pad_n = new_cap - x.shape[0]
+        if pad_n <= 0:
+            return x
+        return jnp.pad(x, [(0, pad_n)] + [(0, 0)] * (x.ndim - 1))
+    return jax.tree.map(pad, tree)
+
+
+class MeshTrainer:
+    def __init__(self, mesh_vertices: np.ndarray, mesh_triangles: np.ndarray,
+                 dataset: DeviceDataset, opt: OptimizationParams,
+                 rt: RuntimeParams, spatial_lr_scale: float,
+                 white_background: bool = True, is_exist_bg: bool = False,
+                 init_target: int = 100_000, max_sh_degree: int = 3):
+        self.opt = opt
+        self.rt = rt
+        self.ds = dataset
+        self.is_exist_bg = is_exist_bg
+        self.max_sh_degree = max_sh_degree
+        self.spatial_lr_scale = spatial_lr_scale
+        self.bg_const = jnp.ones(3) if white_background else jnp.zeros(3)
+        self.key = jax.random.PRNGKey(rt.seed)
+
+        n_faces = mesh_triangles.shape[0]
+        # subdivision rounds needed to pass init_target (x4 per round)
+        rounds = 0
+        n = n_faces
+        while n <= init_target:
+            n *= 4
+            rounds += 1
+        cap = _round_up(int(n * 2.0), 4096) if rt.capacity == 0 else rt.capacity
+        vcap = _round_up(mesh_vertices.shape[0] + n * 2, 4096)
+
+        self.key, k0 = jax.random.split(self.key)
+        p, b, mv, st = mgs.create_from_mesh(
+            jnp.asarray(mesh_vertices), jnp.asarray(mesh_triangles),
+            capacity=cap, vertex_capacity=vcap, max_sh_degree=max_sh_degree,
+            rng=k0)
+        self.params, self.binding, self.mesh_v, self.state = p, b, mv, st
+
+        self._build_optimizer()
+        # init subdivision loop (train_mesh_gaussian.py:60-61)
+        cur = n_faces
+        for _ in range(rounds):
+            self._split_all(max_split=_round_up(cur, 256))
+            cur *= 4
+        self.sh_degree = 0
+        self._step_fns: dict[Any, Callable] = {}
+        self.metrics_log: list[dict] = []
+
+    # ------------------------------------------------------------------ opt
+    def _build_optimizer(self):
+        self.tx = optim_mod.make_optimizer(
+            optim_mod.mesh_lr_tree_fn(self.opt, self.spatial_lr_scale))
+        self.opt_state = self.tx.init(self.params)
+
+    def _opt_moments(self):
+        return self.opt_state.adam.mu, self.opt_state.adam.nu
+
+    def _set_opt_moments(self, mu, nu):
+        adam = self.opt_state.adam._replace(mu=mu, nu=nu)
+        self.opt_state = self.opt_state._replace(adam=adam)
+
+    # ------------------------------------------------------------- densify
+    def _split_all(self, max_split: int):
+        mu, nu = self._opt_moments()
+        res = densify_mod.split_all_for_init(
+            self.params, self.binding, self.mesh_v, mu, nu, self.state,
+            max_split=max_split)
+        if int(res.dropped) > 0:
+            self._grow(int(self.binding.alive.shape[0] * 2))
+            return self._split_all(max_split)
+        self._apply_split(res)
+
+    def _apply_split(self, res: densify_mod.SplitResult):
+        self.params, self.binding, self.mesh_v = res.params, res.binding, res.mesh_v
+        self.state = res.state
+        self._set_opt_moments(res.mu, res.nu)
+
+    def _grow(self, new_cap: int):
+        new_cap = _round_up(new_cap, 4096)
+        self.params = pad_axis0(self.params, new_cap)
+        self.state = pad_axis0(self.state, new_cap)
+        mu, nu = self._opt_moments()
+        self._set_opt_moments(pad_axis0(mu, new_cap), pad_axis0(nu, new_cap))
+        b = pad_axis0(self.binding, new_cap)
+        self.binding = b.replace(alive=b.alive[:new_cap])
+        self._step_fns.clear()
+
+    def densify(self):
+        mu, nu = self._opt_moments()
+        grads = densify_mod.grads_avg(self.state)
+        max_split = _round_up(max(256, int(self.binding.alive.shape[0]) // 16), 256)
+        res = densify_mod.densify_and_split(
+            self.params, self.binding, self.mesh_v, mu, nu, self.state,
+            grads, self.opt.densify_grad_threshold, 5, max_split)
+        if int(res.dropped) > 0:
+            self._grow(int(self.binding.alive.shape[0] * 3 // 2))
+            mu, nu = self._opt_moments()
+            res = densify_mod.densify_and_split(
+                self.params, self.binding, self.mesh_v, mu, nu, self.state,
+                grads, self.opt.densify_grad_threshold, 5, max_split)
+        self._apply_split(res)
+
+    # ---------------------------------------------------------------- step
+    def _raster_cfg(self) -> RasterizerConfig:
+        return RasterizerConfig(
+            width=self.ds.width, height=self.ds.height,
+            max_per_tile=self.rt.max_per_tile,
+            max_tiles_per_gaussian=self.rt.max_tiles_per_gaussian,
+            blend_chunk=self.rt.blend_chunk,
+            use_pallas=self.rt.use_pallas)
+
+    def _get_step_fn(self, sh_degree: int, capacity: int):
+        key = (sh_degree, capacity, self.ds.width, self.ds.height)
+        if key in self._step_fns:
+            return self._step_fns[key]
+
+        cfg = self._raster_cfg()
+        tx = self.tx
+        lambda_dssim = self.opt.lambda_dssim
+        mr_weight = self.opt.alpha_mrloss
+        ds = self.ds
+        has_mask = ds.masks is not None
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(params, opt_state, state, binding, cam_idx, bg):
+            cam = ds.camera(cam_idx)
+            gt = ds.images[cam_idx].astype(jnp.float32) / 255.0
+            if has_mask:
+                m = ds.masks[cam_idx].astype(jnp.float32) / 255.0
+                gt = gt * m + bg[:, None, None] * (1.0 - m)
+
+            def loss_fn(p, m2d_off):
+                arrays = render_mod.mesh_model_arrays(p, binding, cam, sh_degree)
+                out = render_mod.render(arrays, cam, cfg, bg,
+                                        mean2d_offset=m2d_off)
+                l1 = loss_mod.l1_loss(out.color, gt)
+                ssim_v = loss_mod.ssim(out.color, gt)
+                mr = loss_mod.mesh_restrict_loss(
+                    mgs.get_scaling(p), binding.vertex1, binding.vertex2,
+                    binding.vertex3, binding.alive, mr_weight)
+                total = ((1.0 - lambda_dssim) * l1
+                         + lambda_dssim * (1.0 - ssim_v) + mr)
+                return total, (out, l1, ssim_v, mr)
+
+            m2d_zero = jnp.zeros((capacity, 2))
+            (total, (out, l1, ssim_v, mr)), (g_params, g_off) = (
+                jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                    params, m2d_zero))
+
+            updates, opt_state = tx.update(g_params, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            state = densify_mod.add_densification_stats(
+                state, g_off, out.visibility, ds.width, ds.height)
+            state = state.replace(max_radii2d=jnp.where(
+                out.visibility,
+                jnp.maximum(state.max_radii2d, out.radii.astype(jnp.float32)),
+                state.max_radii2d))
+            metrics = {"loss": total, "l1": l1, "ssim": ssim_v, "mrloss": mr,
+                       "tile_overflow": out.tile_overflow,
+                       "num_rendered": out.num_rendered}
+            return params, opt_state, state, metrics
+
+        self._step_fns[key] = step
+        return step
+
+    def train(self, iterations: int | None = None,
+              log_every: int = 50, callback=None) -> list[dict]:
+        opt = self.opt
+        iterations = iterations or opt.iterations
+        n_cams = self.ds.images.shape[0]
+        t0 = time.time()
+
+        for it in range(1, iterations + 1):
+            if it % 1000 == 0 and self.sh_degree < self.max_sh_degree:
+                self.sh_degree += 1
+
+            self.key, k_cam, k_bg = jax.random.split(self.key, 3)
+            cam_idx = jax.random.randint(k_cam, (), 0, n_cams)
+            bg = (jax.random.uniform(k_bg, (3,)) if self.is_exist_bg
+                  else self.bg_const)
+
+            step = self._get_step_fn(self.sh_degree,
+                                     int(self.binding.alive.shape[0]))
+            self.params, self.opt_state, self.state, metrics = step(
+                self.params, self.opt_state, self.state, self.binding,
+                cam_idx, bg)
+
+            if it < opt.densify_until_iter and it > opt.densify_from_iter \
+                    and it % opt.densification_interval == 0:
+                self.densify()
+            if it % opt.opacity_reset_interval == 0:
+                self.params = self.params.replace(
+                    **{"opacity": densify_mod.reset_opacity(self.params).opacity})
+
+            if it % log_every == 0 or it == iterations:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(iter=it, n_alive=int(self.binding.alive.sum()),
+                         elapsed=time.time() - t0)
+                self.metrics_log.append(m)
+                if callback:
+                    callback(m)
+        return self.metrics_log
+
+    # ---------------------------------------------------------------- eval
+    def render_view(self, cam: CameraArrays, bg=None):
+        cfg = self._raster_cfg()
+        arrays = render_mod.mesh_model_arrays(self.params, self.binding, cam,
+                                              self.sh_degree)
+        return render_mod.render(arrays, cam, cfg,
+                                 self.bg_const if bg is None else bg)
+
+    def eval_psnr(self, indices=None) -> float:
+        indices = range(self.ds.images.shape[0]) if indices is None else indices
+        vals = []
+        for i in indices:
+            out = self.render_view(self.ds.camera(jnp.int32(i)))
+            gt = self.ds.images[i].astype(jnp.float32) / 255.0
+            if self.ds.masks is not None:
+                m = self.ds.masks[i].astype(jnp.float32) / 255.0
+                gt = gt * m + self.bg_const[:, None, None] * (1 - m)
+            vals.append(float(loss_mod.psnr(out.color, gt)))
+        return float(np.mean(vals))
