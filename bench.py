@@ -1,0 +1,90 @@
+"""Benchmark: rasterizer forward+backward throughput at 1080p, one chip.
+
+Prints ONE JSON line:
+  {"metric": "rasterize_fwd_bwd_mpix_per_s", "value": N, "unit": "Mpix/s",
+   "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); `vs_baseline` is
+measured against the real-time bar implied by its headline claim —
+30 fps at 1080p (62.2 Mpix/s) — for the HARDER fwd+bwd (training) pass,
+so vs_baseline >= 1.0 means a full training step's rasterization work
+outruns the reference's playback target.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+WIDTH, HEIGHT = 1920, 1080
+N_GAUSS = 100_000           # BASELINE config 1/2 scale
+BASELINE_MPIX_S = 30 * (WIDTH * HEIGHT) / 1e6  # 30 fps @ 1080p = 62.2
+
+
+def main():
+    from gaussianmesh_tpu.ops.rasterize import RasterizerConfig, rasterize
+    from scenes import look_at_camera, random_gaussians
+
+    use_pallas = jax.default_backend() == "tpu"
+    cfg = RasterizerConfig(width=WIDTH, height=HEIGHT, max_per_tile=1024,
+                           max_tiles_per_gaussian=32, blend_chunk=128,
+                           use_pallas=use_pallas)
+    cam = look_at_camera(WIDTH, HEIGHT, distance=4.0)
+    sc = random_gaussians(N_GAUSS, seed=0, spread=1.4,
+                          scale_range=(0.004, 0.02))
+    bg = jnp.ones(3)
+
+    def fwd_bwd(means, cov6, op, rgb):
+        def f(means, cov6, op, rgb):
+            out = rasterize(means, cov6, op, rgb, bg, cam, cfg)
+            return jnp.sum(out.color * out.color), out.num_rendered
+        (loss, nrend), grads = jax.value_and_grad(
+            f, argnums=(0, 1, 2, 3), has_aux=True)(means, cov6, op, rgb)
+        return loss, nrend, grads
+
+    steps = 10
+
+    @jax.jit
+    def loop(means, cov6, op, rgb):
+        # amortize dispatch overhead (the TPU here sits behind a relay):
+        # `steps` full fwd+bwd passes inside one dispatch, serialized by a
+        # data dependency on the loss.
+        def body(carry, _):
+            loss, nrend, grads = fwd_bwd(means + 0.0 * carry, cov6, op, rgb)
+            return loss, nrend
+        loss, nrends = jax.lax.scan(body, 0.0, None, length=steps)
+        return loss, nrends
+
+    args = (sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"])
+    out = loop(*args)                      # compile + warmup
+    jax.block_until_ready(out)
+    n_rendered = int(out[1][0])
+
+    t0 = time.perf_counter()
+    out = loop(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / steps
+
+    mpix_s = (WIDTH * HEIGHT) / dt / 1e6
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_mpix_per_s",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+        "detail": {"step_ms": round(dt * 1e3, 2), "n_gauss": N_GAUSS,
+                   "num_rendered": n_rendered, "backend": jax.default_backend(),
+                   "pallas": use_pallas},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -131,10 +131,17 @@ def preprocess(means3d: jax.Array, cov6: jax.Array, cam: CameraArrays,
     radius = jnp.where(valid, radius, 0)
     tiles_touched = jnp.where(valid, tiles_touched, 0).astype(jnp.int32)
 
+    # Sanitize culled rows: their values are never blended (alpha gated to
+    # zero) but non-finite forward values would turn zero cotangents into
+    # NaN during backprop (0 * inf). Unit conic keeps the power finite.
+    mean2d = jnp.where(valid[:, None], mean2d, 0.0)
+    conic = jnp.where(valid[:, None], conic,
+                      jnp.array([1.0, 0.0, 1.0], conic.dtype))
+
     return Preprocessed(
         valid=valid,
         mean2d=mean2d,
-        depth=t[:, 2],
+        depth=jnp.where(valid, t[:, 2], 0.0),
         conic=conic,
         radius=radius,
         rect_min=jnp.stack([rmin_x, rmin_y], axis=-1),

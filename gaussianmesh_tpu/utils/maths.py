@@ -20,16 +20,14 @@ def inverse_sigmoid(x: jax.Array) -> jax.Array:
     return jnp.log(x / (1.0 - x))
 
 
-def normalize(v: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
-    """L2-normalize along `axis`.
+def normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """L2-normalize along `axis`, guarded against zero vectors.
 
-    With eps=0 this matches the reference `jt.normalize` used for
-    quaternions (reference normalizes quats in the model layer, not the
-    kernel — /root/reference/scene/gaussian_model.py:41).
-    """
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
-    if eps:
-        n = jnp.maximum(n, eps)
+    Matches the reference `jt.normalize` used for quaternions
+    (/root/reference/scene/gaussian_model.py:41) for any real input; the
+    eps guard keeps dead capacity-padding rows (all-zero quats) finite so
+    their zero-cotangent gradients stay zero instead of 0*NaN."""
+    n = jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=True) + eps * eps)
     return v / n
 
 

@@ -96,7 +96,7 @@ def eval_sh_color(sh: jax.Array, means: jax.Array, campos: jax.Array,
     dnormvdv (backward.cu:20-139) — here supplied by autodiff.
     """
     d = means - campos
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
     raw = eval_sh(sh, d, degree) + 0.5
     clamped = raw < 0.0
     return jnp.maximum(raw, 0.0), clamped

@@ -1,0 +1,114 @@
+"""Multi-chip sharded step vs single-chip equivalence, on the virtual
+8-device CPU mesh (SURVEY.md §4 layer 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussianmesh_tpu.config import OptimizationParams
+from gaussianmesh_tpu.models import mesh_gaussians as mgs
+from gaussianmesh_tpu.models import render as render_mod
+from gaussianmesh_tpu.ops.rasterize import RasterizerConfig, rasterize
+from gaussianmesh_tpu.parallel import sharding, train_step as pts
+from gaussianmesh_tpu.train import loss as loss_mod
+from gaussianmesh_tpu.train import optim as optim_mod
+from tests.meshes import icosphere
+from tests.scenes import look_at_camera
+
+W = H = 64  # gy = 4 tile rows
+
+
+@pytest.fixture(scope="module")
+def setup():
+    v, f = icosphere(1)
+    p, b, mv, st = mgs.create_from_mesh(jnp.asarray(v), jnp.asarray(f),
+                                        capacity=128, vertex_capacity=512)
+    cams = [look_at_camera(W, H, azimuth=a, distance=3.2)
+            for a in (0.3, 2.1)]
+    rng = np.random.default_rng(0)
+    gts = [jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+           for _ in cams]
+    return p, b, st, cams, gts
+
+
+def _cfg():
+    return RasterizerConfig(width=W, height=H, max_per_tile=128,
+                            max_tiles_per_gaussian=16, use_pallas=False)
+
+
+def test_sharded_step_matches_single_chip(setup):
+    p, b, st, cams, gts = setup
+    assert len(jax.devices()) >= 8
+    mesh = sharding.make_mesh(2, 4)
+    opt = OptimizationParams()
+    tx = optim_mod.make_optimizer(optim_mod.mesh_lr_tree_fn(opt, 1.0))
+    opt_state = tx.init(p)
+
+    cfg = _cfg()
+    lam, mrw = opt.lambda_dssim, opt.alpha_mrloss
+    step = pts.make_sharded_train_step(mesh, tx, cfg, sh_degree=0,
+                                       lambda_dssim=lam, mr_weight=mrw,
+                                       width=W, height_valid=H)
+    cam_batch = tuple(jnp.stack([getattr(c, fld) for c in cams])
+                      for fld in type(cams[0])._fields)
+    gt_batch = jnp.stack(gts)
+    bg = jnp.asarray([0.2, 0.4, 0.6])
+    p2, opt_state2, st2, metrics = step(p, opt_state, st, b, cam_batch,
+                                        gt_batch, bg)
+
+    # single-chip reference loss + grads
+    def loss_single(params, off):
+        total = 0.0
+        for cam, gt in zip(cams, gts):
+            arrays = render_mod.mesh_model_arrays(params, b, cam, 0)
+            out = render_mod.render(arrays, cam, cfg, bg, mean2d_offset=off)
+            total += ((1 - lam) * loss_mod.l1_loss(out.color, gt)
+                      + lam * (1 - loss_mod.ssim(out.color, gt)))
+        total = total / len(cams)
+        total += loss_mod.mesh_restrict_loss(
+            mgs.get_scaling(params), b.vertex1, b.vertex2, b.vertex3,
+            b.alive, mrw)
+        return total
+
+    off0 = jnp.zeros((b.alive.shape[0], 2))
+    loss_ref, grads_ref = jax.value_and_grad(loss_single, argnums=(0, 1))(p, off0)
+    np.testing.assert_allclose(float(metrics["loss"]), float(loss_ref),
+                               rtol=1e-4)
+
+    # parameter update equivalence: apply same tx to reference grads
+    import optax
+    upd_ref, _ = tx.update(grads_ref[0], tx.init(p), p)
+    p_ref = optax.apply_updates(p, upd_ref)
+    for name in ("bc", "distance", "opacity", "scaling"):
+        a = np.asarray(getattr(p2, name))
+        r = np.asarray(getattr(p_ref, name))
+        scale = np.abs(r).max() + 1e-8
+        np.testing.assert_allclose(a / scale, r / scale, atol=5e-4,
+                                   err_msg=name)
+
+    # densification stats: psum'd mean2d grads match single-chip
+    g_off_ref = np.asarray(grads_ref[1])
+    scaled = g_off_ref * np.array([0.5 * W, 0.5 * H])
+    want = np.linalg.norm(scaled, axis=-1)
+    got = np.asarray(st2.grad_accum)
+    vis = np.asarray(st2.denom) > 0
+    np.testing.assert_allclose(got[vis], want[vis], atol=1e-5)
+
+
+def test_band_clipping_consistency(setup):
+    """Rendering 4 bands separately must tile into the full image."""
+    p, b, st, cams, _ = setup
+    cfg = _cfg()
+    cam = cams[0]
+    arrays = render_mod.mesh_model_arrays(p, b, cam, 0)
+    bg = jnp.zeros(3)
+    full = rasterize(arrays.xyz, arrays.cov6, arrays.opacity, arrays.rgb,
+                     bg, cam, cfg, active_mask=arrays.active)
+    bands = []
+    for y0 in range(4):
+        out = pts.rasterize_band(arrays, cam, cfg, gy_local=1,
+                                 y0_tiles=jnp.int32(y0), bg=bg)
+        bands.append(np.asarray(out.color))
+    stitched = np.concatenate(bands, axis=1)
+    np.testing.assert_allclose(stitched, np.asarray(full.color), atol=2e-5)

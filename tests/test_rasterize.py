@@ -118,3 +118,30 @@ def test_finite_difference_check():
     from jax.test_util import check_grads
     check_grads(f, (sc["opacity"], sc["rgb"]), order=1, modes=("rev",),
                 atol=2e-2, rtol=2e-2)
+
+
+def test_gradients_finite_with_dead_capacity_rows():
+    """Dead (masked) capacity rows must not inject NaNs into gradients —
+    zero quats, zero conics and culled rows all backprop exact zeros."""
+    from gaussianmesh_tpu.models import mesh_gaussians as mgs
+    from gaussianmesh_tpu.models import render as render_mod
+    from tests.meshes import icosphere
+
+    v, f = icosphere(0)
+    p, b, _, _ = mgs.create_from_mesh(jnp.asarray(v), jnp.asarray(f),
+                                      capacity=128, vertex_capacity=128)
+    cam = look_at_camera(32, 32, distance=3.0)
+    cfg = RasterizerConfig(width=32, height=32, max_per_tile=64,
+                           max_tiles_per_gaussian=8, use_pallas=False)
+
+    def loss(p):
+        arrays = render_mod.mesh_model_arrays(p, b, cam, 3)
+        out = render_mod.render(arrays, cam, cfg, jnp.zeros(3))
+        return jnp.sum(out.color ** 2)
+
+    g = jax.grad(loss)(p)
+    for name in type(g).__dataclass_fields__:
+        arr = np.asarray(getattr(g, name))
+        assert np.isfinite(arr).all(), name
+        # dead rows get exactly zero gradient
+        assert np.abs(arr[f.shape[0]:]).max() == 0.0, name
