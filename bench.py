@@ -36,7 +36,7 @@ def main():
 
     use_pallas = jax.default_backend() == "tpu"
     cfg = RasterizerConfig(width=WIDTH, height=HEIGHT, max_per_tile=1024,
-                           max_tiles_per_gaussian=32, blend_chunk=128,
+                           max_tiles_per_gaussian=32, blend_chunk=256,
                            use_pallas=use_pallas)
     cam = look_at_camera(WIDTH, HEIGHT, distance=4.0)
     sc = random_gaussians(N_GAUSS, seed=0, spread=1.4,

@@ -33,7 +33,8 @@ class RasterizerConfig:
     height: int
     max_per_tile: int = 512
     max_tiles_per_gaussian: int = 32
-    blend_chunk: int = 128
+    blend_chunk: int = 256
+    pair_capacity_per_gaussian: int = 16
     use_pallas: bool = True
 
     @property
@@ -93,21 +94,35 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
         )
 
     prep_static = jax.tree.map(jax.lax.stop_gradient, prep)
+    n = means3d.shape[0]
+    # pair capacity also covers typical per-tile chunk-alignment padding
+    # (~half a chunk per tile; overflow is reported, never silent)
+    p_cap = (-(-n * cfg.pair_capacity_per_gaussian // cfg.blend_chunk)
+             * cfg.blend_chunk + cfg.num_tiles * (cfg.blend_chunk // 2))
     tiles = binning.build_tile_lists(
-        prep_static, gx, gy, cfg.max_per_tile, cfg.max_tiles_per_gaussian)
+        prep_static, gx, gy, cfg.max_per_tile, cfg.max_tiles_per_gaussian,
+        pair_capacity=p_cap, chunk=cfg.blend_chunk)
 
     mean2d = prep.mean2d
     if mean2d_offset is not None:
         mean2d = mean2d + mean2d_offset
     feat = tile_blend.pack_features(
         mean2d, prep.conic, opacity.reshape(-1), rgb, prep.valid)
-    tile_feats = feat[tiles.lists]                       # (T, K, F)
-    tile_feats = jnp.swapaxes(tile_feats, 1, 2)          # (T, F, K)
 
     if cfg.use_pallas:
-        color_t, final_t_t, ncon_t = tile_blend.blend_tiles_pallas(
-            tile_feats, gx, cfg.blend_chunk)
+        pair_feats = binning.gather_pair_features(
+            feat, tiles.aligned_gid, tiles.pair_to_aligned,
+            tiles.depth_order, cfg.max_tiles_per_gaussian)
+        # barrier: otherwise XLA fuses the gather into the transpose and
+        # re-executes it once per feature row (16x the HBM traffic)
+        pair_feats = jax.lax.optimization_barrier(pair_feats)
+        pair_featsT = pair_feats.T                       # (F, P)
+        color_t, final_t_t, ncon_t = tile_blend.blend_pairs_pallas(
+            pair_featsT, tiles.block_tile, tiles.aligned_starts, tiles.counts,
+            gx, cfg.num_tiles, cfg.blend_chunk)
     else:
+        lists = binning.tile_id_lists(tiles, cfg.num_tiles, cfg.max_per_tile, n)
+        tile_feats = jnp.swapaxes(feat[lists], 1, 2)     # (T, F, K)
         color_t, final_t_t, ncon_t = tile_blend.blend_tiles_jnp(tile_feats, gx)
 
     color = _assemble(color_t, cfg)

@@ -17,11 +17,13 @@ scan transcription in tests/test_oracle.py) but runs as vectorized VPU math
 Two implementations with identical math:
   * `blend_tiles_jnp` — pure jnp vmap/lax.map over tiles; runs anywhere
     (CPU tests), differentiable by autodiff. The oracle for the kernel.
-  * `blend_tiles_pallas` — Pallas TPU kernels (forward + custom VJP
-    backward), chunked over the per-tile Gaussian list flash-attention
-    style with carried transmittance in scratch, early-exit when the whole
-    tile is saturated, and per-chunk transmittance checkpoints so the
-    backward re-derives exp factors without a reverse sweep dependency.
+  * `blend_pairs_pallas` — Pallas TPU kernels (forward + custom VJP
+    backward) streaming the compacted, tile-grouped pair buffer in
+    chunk-aligned blocks, flash-attention style: carried transmittance in
+    scratch, early exit when the whole tile is saturated, per-tile chunk
+    skipping driven by scalar-prefetched ranges, and per-chunk
+    transmittance checkpoints so the backward re-derives exp factors
+    without a reverse-sweep data dependency.
 
 Gradient-semantics note: gradients through `min(0.99, alpha)` are masked
 when the cap is active (the mathematically consistent choice); the
@@ -83,6 +85,28 @@ def _cumsum_lanes(x: jax.Array) -> jax.Array:
     return x
 
 
+def _cumprod_lanes(x: jax.Array) -> jax.Array:
+    """Inclusive cumprod along lanes — same log-step scan with multiplies.
+
+    Multiplicative transmittance tracking is both cheaper (no log1p/exp
+    pair) and closer to the reference's sequential `T *= (1 - alpha)`
+    (forward.cu:346-357) than the log-space form."""
+    k = x.shape[1]
+    d = 1
+    while d < k:
+        shifted = jnp.concatenate(
+            [jnp.ones_like(x[:, :d]), x[:, :k - d]], axis=1)
+        x = x * shifted
+        d *= 2
+    return x
+
+
+def _shift_one_lane(x: jax.Array, fill: float) -> jax.Array:
+    """Shift right by one lane, filling with `fill` (exclusive-scan helper)."""
+    return jnp.concatenate(
+        [jnp.full_like(x[:, :1], fill), x[:, :x.shape[1] - 1]], axis=1)
+
+
 def _pixel_coords(tile_x, tile_y):
     """Pixel centers of a tile as two (PIX, 1) columns (row-major in-tile)."""
     p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
@@ -102,11 +126,12 @@ def _alphas(feat, px, py):
     dx = x - px
     dy = y - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    raw = op * jnp.exp(power)
+    e = jnp.exp(power)
+    raw = op * e
     alpha = jnp.minimum(ALPHA_MAX, raw)
     gate = (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(gate, alpha, 0.0)
-    return alpha, gate, power, raw, dx, dy
+    return alpha, gate, e, raw, dx, dy
 
 
 def _tile_fwd_math(feat, tile_x, tile_y):
@@ -115,16 +140,16 @@ def _tile_fwd_math(feat, tile_x, tile_y):
     alpha, gate, _, _, _, _ = _alphas(feat, px, py)
     real = feat[ROW_REAL][None, :] > 0.0
 
-    log_om = jnp.log1p(-alpha)
-    cum = jnp.cumsum(log_om, axis=1)
-    include = cum >= LOG_T_EPS
-    s_excl = jnp.exp(cum - log_om)
+    om = 1.0 - alpha
+    cum = jnp.cumprod(om, axis=1)
+    include = cum >= T_EPS
+    s_excl = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
     w = alpha * s_excl * include
 
     r = jnp.sum(w * feat[ROW_R][None, :], axis=1)
     g = jnp.sum(w * feat[ROW_G][None, :], axis=1)
     b = jnp.sum(w * feat[ROW_B][None, :], axis=1)
-    final_t = jnp.exp(jnp.sum(jnp.where(include, log_om, 0.0), axis=1))
+    final_t = jnp.prod(jnp.where(include, om, 1.0), axis=1)
     k = feat.shape[1]
     rank = jax.lax.broadcasted_iota(jnp.int32, (PIX, k), 1) + 1
     contributes = include & (alpha > 0.0) & real
@@ -153,201 +178,270 @@ def blend_tiles_jnp(tile_feats: jax.Array, grid_x: int,
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernels
+# Pallas kernels — flat-grid aligned pair-stream blend
 # ---------------------------------------------------------------------------
+#
+# The binning stage compacts all (tile, gaussian) pairs into one
+# depth-ordered, tile-grouped buffer whose per-tile ranges are padded to
+# chunk boundaries, so every `chunk`-wide block belongs to exactly one
+# tile (`block_tile`). The kernels then run a single flat 1D grid over
+# real blocks only — no per-tile fixed chunk budget, no skipped steps:
+#
+#   forward: walk blocks left->right; scratch carries (log_S, log_T,
+#     n_contrib) across a tile's blocks (tile changes detected from the
+#     prefetched block->tile map); per-block start-transmittance
+#     checkpoints are emitted for the backward.
+#   backward: walk blocks right->left, re-deriving per-entry exp factors
+#     from the checkpoints; each block writes its OWN d-feature block
+#     (alignment makes them disjoint), so the pair-gradient buffer comes
+#     out dense with no scatter combine; the per-gaussian reduction is a
+#     deterministic segment-sum outside (the TPU replacement for
+#     backward.cu's atomicAdds).
+
+NCONTRIB_ROW = 4
 
 
-def _make_fwd_kernel(grid_x: int, kc_size: int):
-    """Forward: grid (num_tiles, NC); feat block (1, FEAT, KC); out (1, 8, PIX).
+def _make_flat_fwd_kernel(grid_x: int, chunk: int, num_tiles: int):
+    def kernel(btile_ref, astarts_ref, counts_ref, pair_ref, out_ref,
+               ckpt_ref, carry):
+        b = pl.program_id(0)
+        t = btile_ref[b]
+        prev_t = jnp.where(b > 0, btile_ref[jnp.maximum(b - 1, 0)], -1)
+        next_t = btile_ref[b + 1]
 
-    Scratch carry rows: 0=log_S (all alphas), 1=log_T (included only),
-    2=n_contrib. Persist across the chunk axis; re-initialized per tile.
-    """
-    def kernel(feat_ref, out_ref, ckpt_ref, carry):
-        t = pl.program_id(0)
-        kc = pl.program_id(1)
-        nc = pl.num_programs(1)
+        @pl.when(t < num_tiles)
+        def _valid():
+            @pl.when(t != prev_t)
+            def _first():
+                carry[...] = jnp.ones_like(carry)
+                carry[2, :] = jnp.zeros_like(carry[2, :])
+                out_ref[...] = jnp.zeros_like(out_ref)
 
-        @pl.when(kc == 0)
-        def _init():
-            carry[...] = jnp.zeros_like(carry)
-            out_ref[...] = jnp.zeros_like(out_ref)
+            s_in = carry[0, :]
+            ckpt_ref[0, 0, :] = s_in
 
-        # checkpoint log_S at chunk start (for the backward recompute)
-        ckpt_ref[0, pl.ds(kc, 1), :] = carry[0, :][None, :]
+            def _work():
+                tile_x = t % grid_x
+                tile_y = t // grid_x
+                feat = pair_ref[...]                   # (FEAT, chunk)
+                px, py = _pixel_coords(tile_x, tile_y)
+                alpha, _, _, _, _, _ = _alphas(feat, px, py)
+                start = astarts_ref[t]
+                gidx = b * chunk + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, chunk), 1)
+                in_tile = gidx < start + counts_ref[t]
+                alpha = jnp.where(in_tile, alpha, 0.0)
 
-        log_s_in = carry[0, :]                     # (PIX,)
-        # early-exit: whole tile saturated -> only bookkeeping
-        live = jnp.max(log_s_in) >= LOG_T_EPS
+                om = 1.0 - alpha
+                local_cum = _cumprod_lanes(om)
+                s = s_in[:, None] * local_cum
+                include = s >= T_EPS
+                s_excl = s_in[:, None] * _shift_one_lane(local_cum, 1.0)
+                w = alpha * s_excl * include
 
-        @pl.when(live)
-        def _work():
+                out_ref[0, 0, :] += jnp.sum(w * feat[ROW_R][None, :], axis=1)
+                out_ref[0, 1, :] += jnp.sum(w * feat[ROW_G][None, :], axis=1)
+                out_ref[0, 2, :] += jnp.sum(w * feat[ROW_B][None, :], axis=1)
+
+                carry[0, :] = s[:, s.shape[1] - 1]
+                # product of included om == transmittance at the last
+                # included lane == lane-min over included (cumprod of
+                # om <= 1 is monotone non-increasing): a cheap reduction
+                # instead of a second scan. Normalize out s_in.
+                s_last_inc = jnp.min(jnp.where(include, local_cum, 1.0), axis=1)
+                carry[1, :] *= s_last_inc
+                rank = (gidx - start + 1).astype(jnp.float32)
+                contributes = include & (alpha > 0.0)
+                carry[2, :] = jnp.maximum(
+                    carry[2, :],
+                    jnp.max(jnp.where(contributes, rank, 0.0), axis=1))
+
+            pl.when(jnp.max(s_in) >= T_EPS)(_work)
+
+            @pl.when(t != next_t)
+            def _last():
+                out_ref[0, 3, :] = carry[1, :]
+                out_ref[0, NCONTRIB_ROW, :] = carry[2, :]
+
+    return kernel
+
+
+def _make_flat_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
+    def kernel(btile_ref, astarts_ref, counts_ref, pair_ref, ckpt_ref,
+               g_ref, dpart_ref, qcarry):
+        pb = pl.num_programs(0)
+        b = pb - 1 - pl.program_id(0)                  # reverse walk
+        t = btile_ref[b]
+        later_t = btile_ref[b + 1]                     # processed just before us
+
+        @pl.when(t < num_tiles)
+        def _valid():
+            g_t = g_ref[0, 3, :]
+            t_final = g_ref[0, NCONTRIB_ROW, :]        # stashed final_t
+
+            @pl.when(t != later_t)
+            def _init_tile():
+                qcarry[0, :] = g_t * t_final
+
             tile_x = t % grid_x
             tile_y = t // grid_x
-            feat = feat_ref[0]                     # (FEAT, KC)
+            feat = pair_ref[...]
             px, py = _pixel_coords(tile_x, tile_y)
-            alpha, _, _, _, _, _ = _alphas(feat, px, py)
-            real = feat[ROW_REAL][None, :] > 0.0
+            alpha, gate, e_pow, raw, dx, dy = _alphas(feat, px, py)
+            start = astarts_ref[t]
+            gidx = b * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, chunk), 1)
+            in_tile = gidx < start + counts_ref[t]
+            alpha = jnp.where(in_tile, alpha, 0.0)
 
-            log_om = jnp.log1p(-alpha)             # (PIX, KC)
-            local_cum = _cumsum_lanes(log_om)
-            log_s = log_s_in[:, None] + local_cum  # inclusive, global
-            include = log_s >= LOG_T_EPS
-            s_excl = jnp.exp(log_s - log_om)
+            g_r = g_ref[0, 0, :][:, None]
+            g_g = g_ref[0, 1, :][:, None]
+            g_b = g_ref[0, 2, :][:, None]
+
+            s_start = ckpt_ref[0, 0, :]
+            om = 1.0 - alpha
+            local_cum = _cumprod_lanes(om)
+            s = s_start[:, None] * local_cum
+            include = s >= T_EPS
+            s_excl = s_start[:, None] * _shift_one_lane(local_cum, 1.0)
             w = alpha * s_excl * include
 
-            out_ref[0, 0, :] += jnp.sum(w * feat[ROW_R][None, :], axis=1)
-            out_ref[0, 1, :] += jnp.sum(w * feat[ROW_G][None, :], axis=1)
-            out_ref[0, 2, :] += jnp.sum(w * feat[ROW_B][None, :], axis=1)
+            dldw = (g_r * feat[ROW_R][None, :] + g_g * feat[ROW_G][None, :]
+                    + g_b * feat[ROW_B][None, :])
+            a_mat = dldw * w
+            chunk_sum = jnp.sum(a_mat, axis=1)
+            suffix = chunk_sum[:, None] - _cumsum_lanes(a_mat)
+            q = qcarry[0, :][:, None] + suffix
+            dalpha = (dldw * s_excl - q / om) * include
 
-            carry[0, :] = log_s[:, log_s.shape[1] - 1]
-            carry[1, :] += jnp.sum(jnp.where(include, log_om, 0.0), axis=1)
-            rank = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1) + 1 + kc * kc_size
-            contributes = include & (alpha > 0.0) & real
-            carry[2, :] = jnp.maximum(
-                carry[2, :], jnp.max(jnp.where(contributes, rank, 0), axis=1).astype(jnp.float32))
+            capped = raw > ALPHA_MAX
+            live = gate & (~capped) & in_tile
+            dalpha = jnp.where(live, dalpha, 0.0)
+            dop_elem = dalpha * e_pow
+            dpower = dalpha * alpha
 
-        @pl.when(kc == nc - 1)
-        def _finalize():
-            out_ref[0, 3, :] = jnp.exp(carry[1, :])
-            out_ref[0, 4, :] = carry[2, :]
+            zero = jnp.zeros((chunk,), feat.dtype)
+            dpart_ref[...] = jnp.stack([
+                jnp.sum(dpower * (-(feat[ROW_CA][None, :] * dx
+                                    + feat[ROW_CB][None, :] * dy)), axis=0),
+                jnp.sum(dpower * (-(feat[ROW_CC][None, :] * dy
+                                    + feat[ROW_CB][None, :] * dx)), axis=0),
+                jnp.sum(dpower * (-0.5 * dx * dx), axis=0),
+                jnp.sum(dpower * (-dx * dy), axis=0),
+                jnp.sum(dpower * (-0.5 * dy * dy), axis=0),
+                jnp.sum(dop_elem, axis=0),
+                jnp.sum(g_r * w, axis=0),
+                jnp.sum(g_g * w, axis=0),
+                jnp.sum(g_b * w, axis=0),
+                zero, zero, zero, zero, zero, zero, zero,
+            ])
 
-    return kernel
+            qcarry[0, :] += chunk_sum
 
-
-def _make_bwd_kernel(grid_x: int, kc_size: int):
-    """Reverse sweep over chunks: grid (num_tiles, NC), kc counts backwards."""
-    def kernel(feat_ref, ckpt_ref, g_ref, dfeat_ref, qcarry):
-        t = pl.program_id(0)
-        first = pl.program_id(1) == 0  # first step of the reverse sweep
-
-        tile_x = t % grid_x
-        tile_y = t // grid_x
-        feat = feat_ref[0]                          # (FEAT, KC)
-        px, py = _pixel_coords(tile_x, tile_y)
-        alpha, gate, power, raw, dx, dy = _alphas(feat, px, py)
-
-        g_r = g_ref[0, 0, :][:, None]               # (PIX, 1)
-        g_g = g_ref[0, 1, :][:, None]
-        g_b = g_ref[0, 2, :][:, None]
-        g_t = g_ref[0, 3, :]                        # (PIX,) cotangent of final_t
-        t_final = g_ref[0, 4, :]                    # stashed final_t (residual)
-
-        @pl.when(first)
-        def _init():
-            qcarry[0, :] = g_t * t_final
-
-        nc = pl.num_programs(1)
-        kc = nc - 1 - pl.program_id(1)              # actual chunk index
-        log_s_start = ckpt_ref[0, kc, :]            # (PIX,)
-        log_om = jnp.log1p(-alpha)
-        local_cum = _cumsum_lanes(log_om)
-        log_s = log_s_start[:, None] + local_cum
-        include = log_s >= LOG_T_EPS
-        s_excl = jnp.exp(log_s - log_om)
-        w = alpha * s_excl * include
-
-        dldw = (g_r * feat[ROW_R][None, :] + g_g * feat[ROW_G][None, :]
-                + g_b * feat[ROW_B][None, :])       # (PIX, KC)
-        a_mat = dldw * w
-        # suffix over j>k within chunk + carried right-side total
-        chunk_sum = jnp.sum(a_mat, axis=1)
-        suffix = chunk_sum[:, None] - _cumsum_lanes(a_mat)
-        q = qcarry[0, :][:, None] + suffix
-        one_m = 1.0 - alpha
-        dalpha = (dldw * s_excl - q / one_m) * include
-
-        # alpha gates: capped (raw > max) kills the local grad
-        capped = raw > ALPHA_MAX
-        dalpha = jnp.where(gate & (~capped), dalpha, 0.0)
-        exp_power = jnp.exp(power)
-        dop_elem = dalpha * exp_power
-        dpower = dalpha * alpha
-
-        dca = jnp.sum(dpower * (-0.5 * dx * dx), axis=0)
-        dcb = jnp.sum(dpower * (-dx * dy), axis=0)
-        dcc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0)
-        ddx = dpower * (-(feat[ROW_CA][None, :] * dx + feat[ROW_CB][None, :] * dy))
-        ddy = dpower * (-(feat[ROW_CC][None, :] * dy + feat[ROW_CB][None, :] * dx))
-
-        zero = jnp.zeros((feat.shape[1],), feat.dtype)
-        dfeat_ref[0] = jnp.stack([
-            jnp.sum(ddx, axis=0),
-            jnp.sum(ddy, axis=0),
-            dca, dcb, dcc,
-            jnp.sum(dop_elem, axis=0),
-            jnp.sum(g_r * w, axis=0),
-            jnp.sum(g_g * w, axis=0),
-            jnp.sum(g_b * w, axis=0),
-            zero, zero, zero, zero, zero, zero, zero,
-        ])
-
-        qcarry[0, :] += chunk_sum
+        @pl.when(t >= num_tiles)
+        def _pad_block():
+            dpart_ref[...] = jnp.zeros_like(dpart_ref)
 
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def blend_tiles_pallas(tile_feats: jax.Array, grid_x: int, chunk: int = 128):
-    out, _ = _blend_fwd_impl(tile_feats, grid_x, chunk)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def blend_pairs_pallas(pair_featsT: jax.Array, block_tile: jax.Array,
+                       aligned_starts: jax.Array, counts: jax.Array,
+                       grid_x: int, num_tiles: int, chunk: int = 256):
+    """Flat-grid ragged blend.
+
+    pair_featsT: (FEAT, P) chunk-aligned pair features, P % chunk == 0
+    block_tile:  (P//chunk + 1,) owning tile per block (+ sentinel tail)
+    aligned_starts: (num_tiles + 1,) aligned range starts
+    counts:      (num_tiles,) live entries per tile
+    Returns (color (T, 3, PIX), final_t (T, PIX), n_contrib (T, PIX));
+    tiles with no blocks come back zeroed — callers overlay final_t=1.
+    """
+    out, _ = _flat_fwd_impl(pair_featsT, block_tile, aligned_starts, counts,
+                            grid_x, num_tiles, chunk)
     return out
 
 
-def _blend_fwd_impl(tile_feats, grid_x: int, chunk: int):
-    num_tiles, feat_rows, k = tile_feats.shape
-    assert feat_rows == FEAT and k % chunk == 0, (feat_rows, k, chunk)
-    nc = k // chunk
-    kernel = _make_fwd_kernel(grid_x, chunk)
-    out8, ckpt = pl.pallas_call(
-        kernel,
-        grid=(num_tiles, nc),
-        in_specs=[pl.BlockSpec((1, FEAT, chunk), lambda t, c: (t, 0, c),
-                               memory_space=pltpu.VMEM)],
+def _flat_fwd_impl(pair_featsT, block_tile, aligned_starts, counts,
+                   grid_x, num_tiles, chunk):
+    f_rows, p = pair_featsT.shape
+    assert f_rows == FEAT and p % chunk == 0, (f_rows, p, chunk)
+    pb = p // chunk
+    kernel = _make_flat_fwd_kernel(grid_x, chunk, num_tiles)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(pb,),
+        in_specs=[pl.BlockSpec((FEAT, chunk), lambda b, *s: (0, b))],
         out_specs=(
-            pl.BlockSpec((1, 8, PIX), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc, PIX), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, 8, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, nc, PIX), jnp.float32),
+            pl.BlockSpec((1, 8, PIX),
+                         lambda b, btile, *s: (jnp.minimum(btile[b], num_tiles - 1), 0, 0)),
+            pl.BlockSpec((1, 1, PIX), lambda b, *s: (b, 0, 0)),
         ),
         scratch_shapes=[pltpu.VMEM((8, PIX), jnp.float32)],
-    )(tile_feats)
-    color, final_t, n_contrib = out8[:, 0:3], out8[:, 3], out8[:, 4]
+    )
+    out8, ckpt = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles, 8, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((pb, 1, PIX), jnp.float32),
+        ),
+    )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
+      counts.astype(jnp.int32), pair_featsT)
+
+    has = counts > 0
+    color = jnp.where(has[:, None, None], out8[:, 0:3], 0.0)
+    final_t = jnp.where(has[:, None], out8[:, 3], 1.0)
+    n_contrib = jnp.where(has[:, None], out8[:, NCONTRIB_ROW], 0.0)
     return (color, final_t, n_contrib), ckpt
 
 
-def _blend_fwd_rule(tile_feats, grid_x: int, chunk: int):
-    (color, final_t, n_contrib), ckpt = _blend_fwd_impl(tile_feats, grid_x, chunk)
-    return (color, final_t, n_contrib), (tile_feats, ckpt, final_t)
+def _flat_fwd_rule(pair_featsT, block_tile, aligned_starts, counts,
+                   grid_x, num_tiles, chunk):
+    out, ckpt = _flat_fwd_impl(pair_featsT, block_tile, aligned_starts,
+                               counts, grid_x, num_tiles, chunk)
+    _, final_t, _ = out
+    return out, (pair_featsT, block_tile, aligned_starts, counts, ckpt,
+                 final_t)
 
 
-def _blend_bwd_rule(grid_x: int, chunk: int, res, cts):
-    tile_feats, ckpt, final_t = res
+def _flat_bwd_rule(grid_x, num_tiles, chunk, res, cts):
+    pair_featsT, block_tile, aligned_starts, counts, ckpt, final_t = res
     g_color, g_final_t, _ = cts
-    num_tiles, _, k = tile_feats.shape
-    nc = k // chunk
-    # pack cotangents + final_t residual into one (T, 8, PIX) block
+    f_rows, p = pair_featsT.shape
+    pb = p // chunk
+
     zeros = jnp.zeros_like(final_t)
     g8 = jnp.stack([g_color[:, 0], g_color[:, 1], g_color[:, 2],
                     g_final_t, final_t, zeros, zeros, zeros], axis=1)
-    kernel = _make_bwd_kernel(grid_x, chunk)
-    dfeat = pl.pallas_call(
-        kernel,
-        grid=(num_tiles, nc),
+    kernel = _make_flat_bwd_kernel(grid_x, chunk, num_tiles)
+
+    def rev(b, *s):
+        return (0, pl.num_programs(0) - 1 - b)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(pb,),
         in_specs=[
-            pl.BlockSpec((1, FEAT, chunk), lambda t, c: (t, 0, nc - 1 - c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc, PIX), lambda t, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, PIX), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((FEAT, chunk), rev),
+            pl.BlockSpec((1, 1, PIX), lambda b, *s: (pl.num_programs(0) - 1 - b, 0, 0)),
+            pl.BlockSpec((1, 8, PIX),
+                         lambda b, btile, *s: (
+                             jnp.minimum(btile[pl.num_programs(0) - 1 - b],
+                                         num_tiles - 1), 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, FEAT, chunk), lambda t, c: (t, 0, nc - 1 - c),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, FEAT, k), jnp.float32),
+        out_specs=pl.BlockSpec((FEAT, chunk), rev),
         scratch_shapes=[pltpu.VMEM((8, PIX), jnp.float32)],
-    )(tile_feats, ckpt, g8)
-    return (dfeat,)
+    )
+    dpairT = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((FEAT, p), jnp.float32),
+    )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
+      counts.astype(jnp.int32), pair_featsT, ckpt, g8)
+    return (dpairT, None, None, None)
 
 
-blend_tiles_pallas.defvjp(_blend_fwd_rule, _blend_bwd_rule)
+blend_pairs_pallas.defvjp(_flat_fwd_rule, _flat_bwd_rule)

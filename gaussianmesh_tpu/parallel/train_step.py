@@ -75,9 +75,14 @@ def rasterize_band(arrays: render_mod.GaussianArrays, cam: CameraArrays,
 
     band = clip_to_band(prep, y0_tiles, gy_local)
     band_static = jax.tree.map(jax.lax.stop_gradient, band)
+    n = arrays.xyz.shape[0]
+    p_cap = (-(-n * cfg.pair_capacity_per_gaussian // cfg.blend_chunk)
+             * cfg.blend_chunk + gx * gy_local * (cfg.blend_chunk // 2))
     tiles = binning.build_tile_lists(band_static, gx, gy_local,
                                      cfg.max_per_tile,
-                                     cfg.max_tiles_per_gaussian)
+                                     cfg.max_tiles_per_gaussian,
+                                     pair_capacity=p_cap,
+                                     chunk=cfg.blend_chunk)
 
     mean2d = band.mean2d
     if mean2d_offset is not None:
@@ -91,11 +96,18 @@ def rasterize_band(arrays: render_mod.GaussianArrays, cam: CameraArrays,
 
     feat = tile_blend.pack_features(mean2d, band.conic, arrays.opacity,
                                     arrays.rgb, band.valid)
-    tile_feats = jnp.swapaxes(feat[tiles.lists], 1, 2)
     if cfg.use_pallas:
-        color_t, final_t_t, _ = tile_blend.blend_tiles_pallas(
-            tile_feats, gx, cfg.blend_chunk)
+        pair_feats = binning.gather_pair_features(
+            feat, tiles.aligned_gid, tiles.pair_to_aligned,
+            tiles.depth_order, cfg.max_tiles_per_gaussian)
+        pair_feats = jax.lax.optimization_barrier(pair_feats)
+        pair_featsT = pair_feats.T
+        color_t, final_t_t, _ = tile_blend.blend_pairs_pallas(
+            pair_featsT, tiles.block_tile, tiles.aligned_starts, tiles.counts,
+            gx, gx * gy_local, cfg.blend_chunk)
     else:
+        lists = binning.tile_id_lists(tiles, gx * gy_local, cfg.max_per_tile, n)
+        tile_feats = jnp.swapaxes(feat[lists], 1, 2)
         color_t, final_t_t, _ = tile_blend.blend_tiles_jnp(tile_feats, gx)
 
     band_cfg = RasterizerConfig(width=cfg.width, height=gy_local * TILE,
