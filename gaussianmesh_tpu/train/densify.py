@@ -179,3 +179,144 @@ def add_densification_stats(state: MeshGaussianState, mean2d_grad: jax.Array,
 def grads_avg(state: MeshGaussianState) -> jax.Array:
     g = state.grad_accum / jnp.maximum(state.denom, 1.0)
     return jnp.nan_to_num(g, nan=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Vanilla 3DGS adaptive density control (background model)
+# ---------------------------------------------------------------------------
+# Reference: scene/gaussian_model.py:373-427 — clone small high-gradient
+# Gaussians, split large ones into N=2 resampled children (scale / 1.6),
+# prune by opacity (and optionally screen/world size). Same masked
+# compaction machinery as the mesh model.
+
+from gaussianmesh_tpu.models.gaussians import (GaussianParams, GaussianState,
+                                               empty_state as gs_empty_state)
+from gaussianmesh_tpu.utils.maths import quat_to_rotmat
+
+
+class BgDensifyResult(NamedTuple):
+    params: GaussianParams
+    mu: GaussianParams
+    nu: GaussianParams
+    state: GaussianState
+    n_cloned: jax.Array
+    n_split: jax.Array
+    n_pruned: jax.Array
+    dropped: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("max_new",))
+def densify_and_prune_bg(params: GaussianParams, state: GaussianState,
+                         mu: GaussianParams, nu: GaussianParams,
+                         grads_avg: jax.Array, rng: jax.Array,
+                         grad_threshold: float, min_opacity: float,
+                         extent: float, percent_dense: float,
+                         max_screen: float, max_new: int) -> BgDensifyResult:
+    """Clone + split (N=2) + prune in one jitted compaction pass.
+
+    `max_screen` <= 0 disables the screen/world-size prune (the reference
+    passes size_threshold=None in bg training, train_bg_gaussian.py:148)."""
+    c = state.alive.shape[0]
+    max_scale = jnp.max(jnp.exp(params.scaling), axis=1)
+
+    hot = state.alive & (grads_avg >= grad_threshold)
+    clone_sel = hot & (max_scale <= percent_dense * extent)
+    split_sel = hot & (max_scale > percent_dense * extent)
+
+    # candidates ranked by gradient, capped at max_new slots total
+    score = jnp.where(clone_sel | split_sel, grads_avg, -jnp.inf)
+    top_score, cand = jax.lax.top_k(score, max_new)
+    cand_ok = top_score > -jnp.inf
+    cand_is_split = split_sel[cand]
+
+    # each clone needs 1 new slot, each split needs 2 (parent retired)
+    free = ~state.alive
+    free_idx = jnp.nonzero(free, size=2 * max_new, fill_value=c)[0]
+    need = jnp.where(cand_ok, jnp.where(cand_is_split, 2, 1), 0)
+    slot0 = jnp.cumsum(need) - need                       # first slot per cand
+    have_room = (slot0 + need) <= jnp.sum(free)
+    ok = cand_ok & have_room
+    n_cloned = jnp.sum(ok & ~cand_is_split)
+    n_split = jnp.sum(ok & cand_is_split)
+    dropped = jnp.sum(cand_ok) - jnp.sum(ok)
+
+    # child slots: k-th new row for candidate i at free_idx[slot0[i] + k]
+    k_ids = jnp.arange(2 * max_new)
+    ci = k_ids // 2
+    k = k_ids % 2
+    parent = cand[ci]
+    child_needed = ok[ci] & (k < need[ci])
+    dest = jnp.where(child_needed, free_idx[jnp.clip(slot0[ci] + k, 0, 2 * max_new - 1)], c)
+
+    # child values: clones copy; splits resample xyz ~ N(mean, Sigma),
+    # scale /= 0.8 * 2 (gaussian_model.py:373-396)
+    eps = jax.random.normal(rng, (2 * max_new, 3))
+    p_scale = jnp.exp(params.scaling[parent])
+    rot = quat_to_rotmat(params.rotation[parent]
+                         / jnp.maximum(jnp.linalg.norm(
+                             params.rotation[parent], axis=-1, keepdims=True), 1e-12))
+    sample = params.xyz[parent] + jnp.einsum(
+        "nij,nj->ni", rot, eps * p_scale)
+    is_split_row = cand_is_split[ci]
+    new_xyz = jnp.where(is_split_row[:, None], sample, params.xyz[parent])
+    new_scaling = jnp.where(is_split_row[:, None],
+                            params.scaling[parent] - jnp.log(0.8 * 2),
+                            params.scaling[parent])
+
+    def scat(arr, vals):
+        return arr.at[dest].set(vals, mode="drop")
+
+    new_params = GaussianParams(
+        xyz=scat(params.xyz, new_xyz),
+        features_dc=scat(params.features_dc, params.features_dc[parent]),
+        features_rest=scat(params.features_rest, params.features_rest[parent]),
+        scaling=scat(params.scaling, new_scaling),
+        rotation=scat(params.rotation, params.rotation[parent]),
+        opacity=scat(params.opacity, params.opacity[parent]),
+    )
+    kill_parent = jnp.zeros(c, bool).at[cand].set(ok & cand_is_split, mode="drop")
+    alive = (state.alive & ~kill_parent).at[dest].set(True, mode="drop")
+
+    # prune: low opacity, oversized (screen/world) when enabled
+    op = jax.nn.sigmoid(new_params.opacity[:, 0])
+    prune = alive & (op < min_opacity)
+    if True:  # size prune applies only when a positive threshold is given
+        size_prune = (state.max_radii2d > max_screen) | (
+            jnp.max(jnp.exp(new_params.scaling), axis=1) > 0.1 * extent)
+        prune = jnp.where(max_screen > 0, prune | (alive & size_prune), prune)
+    n_pruned = jnp.sum(prune)
+    alive = alive & ~prune
+
+    new_mu = jax.tree.map(lambda m_: m_.at[dest].set(0.0, mode="drop"), mu)
+    new_nu = jax.tree.map(lambda m_: m_.at[dest].set(0.0, mode="drop"), nu)
+    new_state = gs_empty_state(c).replace(alive=alive)
+    return BgDensifyResult(params=new_params, mu=new_mu, nu=new_nu,
+                           state=new_state, n_cloned=n_cloned,
+                           n_split=n_split, n_pruned=n_pruned, dropped=dropped)
+
+
+def reset_opacity_bg(params: GaussianParams) -> GaussianParams:
+    op = jax.nn.sigmoid(params.opacity)
+    new = jnp.log(jnp.minimum(op, 0.01) / (1.0 - jnp.minimum(op, 0.01)))
+    return params.replace(opacity=new)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def prune_near_mesh(alive: jax.Array, bg_xyz: jax.Array, mesh_xyz: jax.Array,
+                    mesh_alive: jax.Array, min_dist_sq: float = 0.01):
+    """Retire bg Gaussians whose nearest mesh Gaussian is closer than
+    sqrt(min_dist_sq) (train_bg_gaussian.py:129-138, jt.misc.knn squared
+    distances). Chunked MXU pairwise distances."""
+    m_sq = jnp.sum(mesh_xyz * mesh_xyz, axis=1)
+    m_sq = jnp.where(mesh_alive, m_sq, jnp.inf)
+
+    def chunk(b):
+        d2 = (jnp.sum(b * b, axis=1)[:, None] + m_sq[None, :]
+              - 2.0 * b @ mesh_xyz.T)
+        return jnp.min(d2, axis=1)
+
+    n = bg_xyz.shape[0]
+    pad = (-n) % 1024
+    bp = jnp.pad(bg_xyz, ((0, pad), (0, 0)))
+    dmin = jax.lax.map(chunk, bp.reshape(-1, 1024, 3)).reshape(-1)[:n]
+    return alive & ~(dmin < min_dist_sq)
