@@ -1,0 +1,103 @@
+"""Train the mesh-bound foreground model — train_mesh_gaussian.py parity.
+
+    python -m gaussianmesh_tpu.cli.train_mesh -s <data> -m <out> \
+        --input_mesh proxy.obj [--is_exist_bg] [--iterations 30000]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from gaussianmesh_tpu import config as cfg_mod
+from gaussianmesh_tpu.cli.common import base_parser, setup_cache
+
+
+def main(argv=None) -> None:
+    parser = base_parser("Train mesh-bound Gaussians (TPU)")
+    parser.add_argument("--input_mesh", type=str, required=True)
+    parser.add_argument("--is_exist_bg", action="store_true", default=False)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--init_target", type=int, default=100_000)
+    args = parser.parse_args(argv)
+    setup_cache()
+
+    model = cfg_mod.extract(cfg_mod.ModelParams, args)
+    opt = cfg_mod.extract(cfg_mod.OptimizationParams, args)
+    pipe = cfg_mod.extract(cfg_mod.PipelineParams, args)
+    rt = cfg_mod.extract(cfg_mod.RuntimeParams, args)
+    if not model.model_path:
+        model = cfg_mod.ModelParams(**{**model.__dict__,
+                                       "model_path": os.path.join(
+                                           "output", "mesh_gaussian")})
+    cfg_mod.save_cfg(model.model_path, {"model": model, "pipeline": pipe,
+                                        "optimization": opt, "runtime": rt})
+
+    from gaussianmesh_tpu.io import mesh as mesh_io
+    from gaussianmesh_tpu.scene import Scene
+    from gaussianmesh_tpu.train.loss import psnr
+    from gaussianmesh_tpu.train.trainer import DeviceDataset, MeshTrainer
+    from gaussianmesh_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    scene = Scene(model, is_exist_bg=args.is_exist_bg, seed=rt.seed)
+    scene.write_static_artifacts()
+    ds = DeviceDataset.from_cameras(scene.train_cameras)
+    v, f = mesh_io.read_triangle_mesh(args.input_mesh)
+    print(f"[train] proxy mesh: {v.shape[0]} verts, {f.shape[0]} faces; "
+          f"{len(scene.train_cameras)} train cams; "
+          f"extent {scene.cameras_extent:.3f}")
+
+    trainer = MeshTrainer(v, f, ds, opt, rt,
+                          spatial_lr_scale=scene.cameras_extent,
+                          white_background=model.white_background,
+                          is_exist_bg=args.is_exist_bg,
+                          init_target=args.init_target,
+                          max_sh_degree=model.sh_degree)
+    if args.start_checkpoint:
+        trainer.restore(load_checkpoint(args.start_checkpoint,
+                                        trainer.capture()))
+    print(f"[train] {int(trainer.binding.alive.sum())} gaussians after init")
+
+    test_iters = set(args.test_iterations)
+    save_iters = set(args.save_iterations)
+    ckpt_iters = set(args.checkpoint_iterations)
+    done = 0
+
+    def cb(m):
+        nonlocal done
+        print(f"  iter {m['iter']:>6d}  loss {m['loss']:.5f}  "
+              f"n {m['n_alive']}  {m['elapsed']:.0f}s", flush=True)
+
+    boundaries = sorted(test_iters | save_iters | ckpt_iters
+                        | {opt.iterations})
+    prev = 0
+    for b in boundaries:
+        if b <= prev:
+            continue
+        trainer.train(iterations=b - prev, log_every=200, callback=cb)
+        prev = b
+        if b in save_iters or b == opt.iterations:
+            print(f"[ITER {b}] Saving Gaussians")
+            trainer.save(scene.iteration_dir(b))
+        if b in ckpt_iters:
+            save_checkpoint(os.path.join(model.model_path, f"chkpnt{b}.ckpt"),
+                            trainer.capture())
+        if b in test_iters and scene.test_cameras:
+            test_ds = DeviceDataset.from_cameras(scene.test_cameras)
+            vals = []
+            import jax.numpy as jnp
+            for i in range(test_ds.images.shape[0]):
+                out = trainer.render_view(test_ds.camera(jnp.int32(i)))
+                gt = test_ds.images[i].astype(jnp.float32) / 255.0
+                vals.append(float(psnr(out.color, gt)))
+            print(f"[ITER {b}] test PSNR {sum(vals) / len(vals):.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -82,10 +82,11 @@ class ObjectDeformer:
     """A trained mesh-Gaussian object bound to its origin proxy mesh."""
 
     def __init__(self, gaussian_ply_path: str, origin_mesh_path: str,
-                 name: str | None = None, max_sh_degree: int = 3):
+                 name: str | None = None, max_sh_degree: int | None = None):
         self.name = name or origin_mesh_path
         params, binding, load_xyz = gaussian_ply.load_mesh_gaussian_ply(
             gaussian_ply_path, max_sh_degree=max_sh_degree)
+        max_sh_degree = int(round((params.features_rest.shape[1] + 1) ** 0.5)) - 1
         self.n = load_xyz.shape[0]
         self.pos0 = jnp.asarray(load_xyz)
         self.proj0 = mgs.get_proj_xyz(params, binding)
@@ -155,7 +156,8 @@ class SceneEditor:
 
     def add_object(self, gaussian_ply_path: str, origin_mesh_path: str,
                    name: str | None = None) -> ObjectDeformer:
-        obj = ObjectDeformer(gaussian_ply_path, origin_mesh_path, name)
+        obj = ObjectDeformer(gaussian_ply_path, origin_mesh_path, name,
+                             max_sh_degree=None)
         self.objects[obj.name] = obj
         return obj
 

@@ -33,6 +33,13 @@ def _sh_rest_to_flat(features_rest: np.ndarray) -> dict[str, np.ndarray]:
     return {f"f_rest_{i}": cm[:, i].astype(np.float32) for i in range(cm.shape[1])}
 
 
+def sh_degree_from_props(props) -> int:
+    k_rest = sum(1 for p in props if p.startswith("f_rest_")) // 3
+    deg = int(round((k_rest + 1) ** 0.5)) - 1
+    assert (deg + 1) ** 2 - 1 == k_rest, k_rest
+    return deg
+
+
 def _sh_rest_from_props(props, n, max_sh_degree):
     k = (max_sh_degree + 1) ** 2 - 1
     names = sorted((p for p in props if p.startswith("f_rest_")),
@@ -85,11 +92,14 @@ def save_mesh_gaussian_ply(path: str, p: mgs.MeshGaussianParams,
 
 
 def load_mesh_gaussian_ply(path: str, capacity: int | None = None,
-                           max_sh_degree: int = 3):
-    """-> (params, binding, load_xyz (N,3) np array of saved positions)."""
+                           max_sh_degree: int | None = None):
+    """-> (params, binding, load_xyz (N,3) np array of saved positions).
+    max_sh_degree=None infers the degree from the stored f_rest count."""
     v = ply_io.read_ply(path)["vertex"]
     n = len(v["x"])
     cap = capacity or n
+    if max_sh_degree is None:
+        max_sh_degree = sh_degree_from_props(v)
 
     def cap_pad(x, fill=0.0):
         x = np.asarray(x, np.float32)
@@ -152,10 +162,12 @@ def save_gaussian_ply(path: str, p: gs.GaussianParams, alive) -> None:
 
 
 def load_gaussian_ply(path: str, capacity: int | None = None,
-                      max_sh_degree: int = 3):
+                      max_sh_degree: int | None = None):
     v = ply_io.read_ply(path)["vertex"]
     n = len(v["x"])
     cap = capacity or n
+    if max_sh_degree is None:
+        max_sh_degree = sh_degree_from_props(v)
 
     def cap_pad(x, fill=0.0):
         x = np.asarray(x, np.float32)

@@ -72,7 +72,8 @@ class BgTrainer:
             width=self.ds.width, height=self.ds.height,
             max_per_tile=self.rt.max_per_tile,
             max_tiles_per_gaussian=self.rt.max_tiles_per_gaussian,
-            blend_chunk=self.rt.blend_chunk, use_pallas=self.rt.use_pallas)
+            blend_chunk=self.rt.blend_chunk,
+            use_pallas=self.rt.use_pallas and jax.default_backend() == "tpu")
 
     def _get_step_fn(self, sh_degree: int, capacity: int):
         key = (sh_degree, capacity)
@@ -213,3 +214,24 @@ class BgTrainer:
         arrays = render_mod.concat_arrays(bg_arrays, fg_arrays)
         return render_mod.render(arrays, cam, cfg,
                                  self.bg_const if bg is None else bg)
+
+    def save(self, out_dir: str) -> None:
+        import os
+        from gaussianmesh_tpu.io import gaussian_ply
+        os.makedirs(out_dir, exist_ok=True)
+        gaussian_ply.save_gaussian_ply(
+            os.path.join(out_dir, "bg_point_cloud.ply"), self.params,
+            self.state.alive)
+
+    def capture(self):
+        return dict(params=self.params, state=self.state,
+                    opt_state=self.opt_state, sh_degree=self.sh_degree,
+                    key=self.key)
+
+    def restore(self, tree) -> None:
+        self.params = tree["params"]
+        self.state = tree["state"]
+        self.opt_state = tree["opt_state"]
+        self.sh_degree = int(tree["sh_degree"])
+        self.key = tree["key"]
+        self._step_fns.clear()

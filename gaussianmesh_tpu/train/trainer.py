@@ -203,7 +203,7 @@ class MeshTrainer:
             max_per_tile=self.rt.max_per_tile,
             max_tiles_per_gaussian=self.rt.max_tiles_per_gaussian,
             blend_chunk=self.rt.blend_chunk,
-            use_pallas=self.rt.use_pallas)
+            use_pallas=self.rt.use_pallas and jax.default_backend() == "tpu")
 
     def _get_step_fn(self, sh_degree: int, capacity: int):
         key = (sh_degree, capacity, self.ds.width, self.ds.height)
@@ -317,3 +317,36 @@ class MeshTrainer:
                 gt = gt * m + self.bg_const[:, None, None] * (1 - m)
             vals.append(float(loss_mod.psnr(out.color, gt)))
         return float(np.mean(vals))
+
+    # ------------------------------------------------------------- artifacts
+    def save(self, out_dir: str) -> None:
+        """PLY + split proxy mesh snapshot (scene/__init__.py:78-83,
+        mesh_based_gaussian_model.save_mesh:591-594)."""
+        import os
+        from gaussianmesh_tpu.io import gaussian_ply, mesh as mesh_io
+        os.makedirs(out_dir, exist_ok=True)
+        gaussian_ply.save_mesh_gaussian_ply(
+            os.path.join(out_dir, "point_cloud.ply"), self.params, self.binding)
+        v_count = int(self.mesh_v.count)
+        alive = np.asarray(self.binding.alive)
+        mesh_io.write_triangle_mesh(
+            os.path.join(out_dir, "split_mesh.obj"),
+            np.asarray(self.mesh_v.v)[:v_count],
+            np.asarray(self.binding.vertex_index)[alive])
+
+    def capture(self):
+        """Checkpoint pytree (capture() equivalent)."""
+        return dict(params=self.params, binding=self.binding,
+                    mesh_v=self.mesh_v, state=self.state,
+                    opt_state=self.opt_state, sh_degree=self.sh_degree,
+                    key=self.key)
+
+    def restore(self, tree) -> None:
+        self.params = tree["params"]
+        self.binding = tree["binding"]
+        self.mesh_v = tree["mesh_v"]
+        self.state = tree["state"]
+        self.opt_state = tree["opt_state"]
+        self.sh_degree = int(tree["sh_degree"])
+        self.key = tree["key"]
+        self._step_fns.clear()
