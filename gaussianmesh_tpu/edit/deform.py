@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gaussianmesh_tpu.utils.maths import polar_decompose_rs
+from gaussianmesh_tpu.utils.maths import inv3x3, polar_decompose_rs
 
 
 def build_one_ring(triangles: np.ndarray, n_vertices: int,
@@ -63,9 +63,8 @@ def deformation_gradients(v_ref: jax.Array, v_def: jax.Array,
 
     b = jnp.einsum("vdi,vdj->vij", e_ref, e_ref) + eps * jnp.eye(3)
     a = jnp.einsum("vdi,vdj->vij", e_def, e_ref)
-    t = jnp.linalg.solve(
-        jnp.swapaxes(b, -1, -2), jnp.swapaxes(a, -1, -2))
-    t = jnp.swapaxes(t, -1, -2)                    # T = A B^{-1}
+    b_inv, _ = inv3x3(b)   # closed form — batched LU on TPU is scalar-bound
+    t = a @ b_inv                                  # T = A B^{-1}
     # degenerate rings (near-zero B) -> identity transform
     scale = jnp.einsum("vdi,vdi->v", e_ref, e_ref)
     t = jnp.where((scale > 1e-12)[:, None, None], t, jnp.eye(3))

@@ -191,3 +191,58 @@ class SceneEditor:
         with open(os.path.join(model_path, "cameras.json")) as f:
             entries = json.load(f)
         return [camera_from_json(e) for e in entries]
+
+
+def make_playback_fn(obj: ObjectDeformer, cam_arrays: CameraArrays,
+                     cfg: RasterizerConfig, bg_color=None):
+    """Fuse deform + transfer + SH + rasterize into ONE jitted function
+    (deformed vertices in, image out) — the per-frame hot path of
+    BASELINE config 3. Amortizes dispatch and lets XLA overlap the
+    mesh-sized deformation math with the rasterization pipeline."""
+    from gaussianmesh_tpu.edit.deform import deformation_gradients
+
+    bg_color = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
+    d = obj.deformer
+
+    @jax.jit
+    def frame_fn(v_def):
+        rot, shear = deformation_gradients(d.v_ref, v_def, d.neighbors, d.mask)
+        pos, cov, r_hat = transfer_deformation(
+            d.v_ref, v_def, rot, shear, obj.gaussian_tris, obj.weights,
+            obj.pos0, obj.cov0)
+        dirs = pos - cam_arrays.campos
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        d_rot = jnp.einsum("nji,nj->ni", r_hat, dirs)
+        rgb = jnp.maximum(
+            sh_utils.eval_sh(obj.features, d_rot, obj.sh_degree) + 0.5, 0.0)
+        out = rasterize(pos, maths.strip_symmetric(cov), obj.opacity, rgb,
+                        bg_color, cam_arrays, cfg,
+                        active_mask=jnp.ones(obj.n, bool))
+        return out.color
+
+    return frame_fn
+
+
+def playback_sequence(obj: ObjectDeformer, cam_arrays: CameraArrays,
+                      cfg: RasterizerConfig, vertex_frames: jax.Array,
+                      bg_color=None, batch: int = 8) -> jax.Array:
+    """Render a whole mesh-sequence on device: (F, V, 3) deformed vertex
+    frames -> (F, 3, H, W) images, `batch` frames per dispatch (one
+    lax.scan each) so relay/dispatch latency amortizes — the
+    mesh-sequence playback measurement path (BASELINE config 3)."""
+    frame_fn = make_playback_fn(obj, cam_arrays, cfg, bg_color)
+
+    @jax.jit
+    def run_batch(vs):
+        return jax.lax.map(frame_fn, vs)
+
+    f = vertex_frames.shape[0]
+    outs = []
+    for i in range(0, f, batch):
+        chunk = vertex_frames[i:i + batch]
+        pad = batch - chunk.shape[0]
+        if pad:
+            chunk = jnp.concatenate([chunk, jnp.repeat(chunk[-1:], pad, 0)])
+        outs.append(run_batch(chunk)[:batch - pad if pad else batch])
+    return jnp.concatenate(outs, axis=0)

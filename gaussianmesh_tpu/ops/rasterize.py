@@ -97,8 +97,9 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
     n = means3d.shape[0]
     # pair capacity also covers typical per-tile chunk-alignment padding
     # (~half a chunk per tile; overflow is reported, never silent)
-    p_cap = (-(-n * cfg.pair_capacity_per_gaussian // cfg.blend_chunk)
-             * cfg.blend_chunk + cfg.num_tiles * (cfg.blend_chunk // 2))
+    p_cap = (n * cfg.pair_capacity_per_gaussian
+             + cfg.num_tiles * (cfg.blend_chunk // 2))
+    p_cap = -(-p_cap // cfg.blend_chunk) * cfg.blend_chunk
     tiles = binning.build_tile_lists(
         prep_static, gx, gy, cfg.max_per_tile, cfg.max_tiles_per_gaussian,
         pair_capacity=p_cap, chunk=cfg.blend_chunk)

@@ -76,8 +76,9 @@ def rasterize_band(arrays: render_mod.GaussianArrays, cam: CameraArrays,
     band = clip_to_band(prep, y0_tiles, gy_local)
     band_static = jax.tree.map(jax.lax.stop_gradient, band)
     n = arrays.xyz.shape[0]
-    p_cap = (-(-n * cfg.pair_capacity_per_gaussian // cfg.blend_chunk)
-             * cfg.blend_chunk + gx * gy_local * (cfg.blend_chunk // 2))
+    p_cap = (n * cfg.pair_capacity_per_gaussian
+             + gx * gy_local * (cfg.blend_chunk // 2))
+    p_cap = -(-p_cap // cfg.blend_chunk) * cfg.blend_chunk
     tiles = binning.build_tile_lists(band_static, gx, gy_local,
                                      cfg.max_per_tile,
                                      cfg.max_tiles_per_gaussian,

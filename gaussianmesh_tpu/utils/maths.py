@@ -143,19 +143,65 @@ def covariance_6(scaling: jax.Array, rotation_q: jax.Array,
     return strip_symmetric(build_covariance(scaling, rotation_q, scaling_modifier))
 
 
-def polar_decompose_rs(A: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Polar decomposition A = R S of (..., 3, 3) matrices via SVD.
+def inv3x3(A: jax.Array, eps: float = 1e-12) -> tuple[jax.Array, jax.Array]:
+    """Closed-form batched 3x3 inverse via the adjugate. -> (inv, det)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, 1.0)
+    adj = jnp.stack([
+        jnp.stack([co00, co01, co02], axis=-1),
+        jnp.stack([co10, co11, co12], axis=-1),
+        jnp.stack([co20, co21, co22], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None], det
 
-    Returns (R, S) with R a proper rotation (det=+1) and S symmetric PSD.
+
+def polar_decompose_rs(A: jax.Array, iters: int = 7) -> tuple[jax.Array, jax.Array]:
+    """Polar decomposition A = R S of (..., 3, 3) matrices.
+
+    Higham's scaled Newton iteration X <- 0.5 (s X + (X^-1)^T / s) with
+    determinant scaling — pure elementwise 3x3 algebra that runs orders of
+    magnitude faster on TPU than batched SVD (XLA's SVD is iterative and
+    scalar-heavy), converging quadratically for the well-conditioned
+    deformation gradients of the edit hot path. Returns (R, S) with R a
+    proper rotation (det +1 for det(A) > 0) and S symmetric; inputs with
+    |det| ~ 0 fall back to identity rotation.
     This is the TPU-native replacement for the reference's native ACAP
     GetRS output form (per-vertex deformation-gradient factors;
     SURVEY.md §2.9). Batched over leading axes; safe under jit.
     """
-    U, s, Vt = jnp.linalg.svd(A)
-    # enforce proper rotation: flip the smallest singular vector when det<0
-    det = jnp.linalg.det(U @ Vt)
-    flip = jnp.where(det < 0, -1.0, 1.0)
-    D = jnp.ones_like(s).at[..., -1].set(flip)
-    R = (U * D[..., None, :]) @ Vt
-    S = jnp.swapaxes(Vt, -1, -2) @ (s[..., :, None] * D[..., :, None] * Vt)
-    return R, S
+    det_a = jnp.linalg.det(A)
+    ok = jnp.abs(det_a) > 1e-9
+    safe_a = jnp.where(ok[..., None, None], A, jnp.eye(3, dtype=A.dtype))
+    # flip improper maps: newton(A*sign) is the proper rotation R with
+    # A = R S (S gains the negative eigenvalue, like the SVD convention)
+    sign = jnp.where(det_a < 0, -1.0, 1.0)
+    x = safe_a * sign[..., None, None]
+
+    def body(_, x):
+        inv, det = inv3x3(x)
+        inv_t = jnp.swapaxes(inv, -1, -2)
+        # determinant scaling accelerates early iterations
+        s = jnp.abs(det) ** (-1.0 / 3.0)
+        s = jnp.clip(s, 0.1, 10.0)[..., None, None]
+        return 0.5 * (x * s + inv_t / s)
+
+    # unrolled: XLA fuses the short chain better than a fori_loop of
+    # tiny batched ops
+    r = x
+    for i in range(iters):
+        r = body(i, r)
+    s_mat = jnp.swapaxes(r, -1, -2) @ safe_a
+    s_mat = 0.5 * (s_mat + jnp.swapaxes(s_mat, -1, -2))
+    return r, s_mat

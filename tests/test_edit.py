@@ -124,3 +124,23 @@ def test_pose_paths():
     assert len(spiral) == 5
     sph = pose_paths.spherical_sample_path(5, np.zeros(3), 2.0, 1.0, 1.0, 64, 64)
     assert len(sph) == 5
+
+
+def test_native_acap_matches_jax():
+    from gaussianmesh_tpu.edit.native_acap import NativeACAP, native_available
+    if not native_available():
+        import pytest as _pytest
+        _pytest.skip("no C++ toolchain")
+    v, f = icosphere(1)
+    Q = _rot([0.2, 0.8, 0.5], 0.6)
+    v_def = (v @ Q.T + np.array([0.1, 0.2, 0.3])).astype(np.float32)
+
+    nat = NativeACAP((v, f))
+    Rn, Sn = nat.get_rs(v_def, n_threads=2)
+    d = MeshDeformer(v, f)
+    Rj, Sj = d.get_rs(v_def)
+    np.testing.assert_allclose(Rn, np.asarray(Rj), atol=1e-4)
+    np.testing.assert_allclose(Sn, np.asarray(Sj), atol=1e-4)
+    # reference-style call signature
+    R9, S9 = nat.GetRS(v, v_def, 1, 2)
+    assert R9.shape == (v.shape[0], 9)
