@@ -59,6 +59,8 @@ def main(argv=None) -> None:
                           is_exist_bg=args.is_exist_bg,
                           init_target=args.init_target,
                           max_sh_degree=model.sh_degree)
+    from gaussianmesh_tpu.utils.logging import TrainLogger
+    trainer.logger = TrainLogger(model.model_path)
     if args.start_checkpoint:
         trainer.restore(load_checkpoint(args.start_checkpoint,
                                         trainer.capture()))

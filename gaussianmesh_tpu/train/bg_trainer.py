@@ -66,6 +66,7 @@ class BgTrainer:
         self.sh_degree = 0
         self._step_fns = {}
         self.metrics_log: list[dict] = []
+        self.logger = None
 
     def _raster_cfg(self):
         return RasterizerConfig(
@@ -201,6 +202,9 @@ class BgTrainer:
                 m.update(iter=it, n_alive=int(self.state.alive.sum()),
                          elapsed=time.time() - t0)
                 self.metrics_log.append(m)
+                if self.logger is not None:
+                    self.logger.scalars(it, {f"train_bg/{k}": v for k, v in
+                                             m.items() if k != "iter"})
                 if callback:
                     callback(m)
         return self.metrics_log

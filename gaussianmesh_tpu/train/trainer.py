@@ -141,6 +141,7 @@ class MeshTrainer:
         self.sh_degree = 0
         self._step_fns: dict[Any, Callable] = {}
         self.metrics_log: list[dict] = []
+        self.logger = None  # optional utils.logging.TrainLogger
 
     # ------------------------------------------------------------------ opt
     def _build_optimizer(self):
@@ -294,6 +295,9 @@ class MeshTrainer:
                 m.update(iter=it, n_alive=int(self.binding.alive.sum()),
                          elapsed=time.time() - t0)
                 self.metrics_log.append(m)
+                if self.logger is not None:
+                    self.logger.scalars(it, {f"train/{k}": v for k, v in
+                                             m.items() if k != "iter"})
                 if callback:
                     callback(m)
         return self.metrics_log
