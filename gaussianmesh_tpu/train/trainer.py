@@ -143,6 +143,11 @@ class MeshTrainer:
         self.metrics_log: list[dict] = []
         self.logger = None  # optional utils.logging.TrainLogger
 
+        self.device_mesh = None
+        if rt.data_axis * rt.tile_axis > 1:
+            from gaussianmesh_tpu.parallel import sharding as psharding
+            self.device_mesh = psharding.make_mesh(rt.data_axis, rt.tile_axis)
+
     # ------------------------------------------------------------------ opt
     def _build_optimizer(self):
         self.tx = optim_mod.make_optimizer(
@@ -198,15 +203,52 @@ class MeshTrainer:
         self._apply_split(res)
 
     # ---------------------------------------------------------------- step
-    def _raster_cfg(self) -> RasterizerConfig:
+    def _raster_cfg(self, height: int | None = None) -> RasterizerConfig:
         return RasterizerConfig(
-            width=self.ds.width, height=self.ds.height,
+            width=self.ds.width, height=height or self.ds.height,
             max_per_tile=self.rt.max_per_tile,
             max_tiles_per_gaussian=self.rt.max_tiles_per_gaussian,
             blend_chunk=self.rt.blend_chunk,
             use_pallas=self.rt.use_pallas and jax.default_backend() == "tpu")
 
+    def _get_sharded_step_fn(self, sh_degree: int, capacity: int):
+        """Multi-device step over the (data, tile) mesh: D cameras per
+        step, tile bands per device, exact global gradients (see
+        parallel.train_step)."""
+        key = ("sharded", sh_degree, capacity)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        from gaussianmesh_tpu.parallel import train_step as pts
+
+        n_tile = self.device_mesh.shape["tile"]
+        gy_pad = -(-((self.ds.height + 15) // 16) // n_tile) * n_tile
+        cfg = self._raster_cfg(height=gy_pad * 16)
+        inner = pts.make_sharded_train_step(
+            self.device_mesh, self.tx, cfg, sh_degree,
+            self.opt.lambda_dssim, self.opt.alpha_mrloss,
+            self.ds.width, self.ds.height)
+        ds = self.ds
+        has_mask = ds.masks is not None
+        h_pad = gy_pad * 16 - ds.height  # band color is W-cropped already
+
+        @jax.jit
+        def step(params, opt_state, state, binding, cam_idx, bg):
+            cam_batch = (ds.view[cam_idx], ds.proj[cam_idx],
+                         ds.campos[cam_idx], ds.tanfovx[cam_idx],
+                         ds.tanfovy[cam_idx])
+            gt = ds.images[cam_idx].astype(jnp.float32) / 255.0
+            if has_mask:
+                m = ds.masks[cam_idx].astype(jnp.float32) / 255.0
+                gt = gt * m + bg[None, :, None, None] * (1.0 - m)
+            gt = jnp.pad(gt, ((0, 0), (0, 0), (0, h_pad), (0, 0)))
+            return inner(params, opt_state, state, binding, cam_batch, gt, bg)
+
+        self._step_fns[key] = step
+        return step
+
     def _get_step_fn(self, sh_degree: int, capacity: int):
+        if self.device_mesh is not None:
+            return self._get_sharded_step_fn(sh_degree, capacity)
         key = (sh_degree, capacity, self.ds.width, self.ds.height)
         if key in self._step_fns:
             return self._step_fns[key]
@@ -273,7 +315,11 @@ class MeshTrainer:
                 self.sh_degree += 1
 
             self.key, k_cam, k_bg = jax.random.split(self.key, 3)
-            cam_idx = jax.random.randint(k_cam, (), 0, n_cams)
+            if self.device_mesh is not None:
+                cam_idx = jax.random.randint(
+                    k_cam, (self.device_mesh.shape["data"],), 0, n_cams)
+            else:
+                cam_idx = jax.random.randint(k_cam, (), 0, n_cams)
             bg = (jax.random.uniform(k_bg, (3,)) if self.is_exist_bg
                   else self.bg_const)
 
