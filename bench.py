@@ -57,9 +57,10 @@ def main():
     def loop(means, cov6, op, rgb):
         # amortize dispatch overhead (the TPU here sits behind a relay):
         # `steps` full fwd+bwd passes inside one dispatch, serialized by a
-        # data dependency on the loss.
+        # REAL data dependency (carry * 1e-30 is not foldable — a zero
+        # multiplier lets XLA hoist the whole body out of the loop)
         def body(carry, _):
-            loss, nrend, grads = fwd_bwd(means + 0.0 * carry, cov6, op, rgb)
+            loss, nrend, grads = fwd_bwd(means + carry * 1e-30, cov6, op, rgb)
             return loss, nrend
         loss, nrends = jax.lax.scan(body, 0.0, None, length=steps)
         return loss, nrends

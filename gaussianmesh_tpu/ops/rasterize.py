@@ -111,9 +111,7 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
         mean2d, prep.conic, opacity.reshape(-1), rgb, prep.valid)
 
     if cfg.use_pallas:
-        pair_feats = binning.gather_pair_features(
-            feat, tiles.aligned_gid, tiles.pair_to_aligned,
-            tiles.depth_order, cfg.max_tiles_per_gaussian)
+        pair_feats = feat[tiles.aligned_gid]
         # barrier: otherwise XLA fuses the gather into the transpose and
         # re-executes it once per feature row (16x the HBM traffic)
         pair_feats = jax.lax.optimization_barrier(pair_feats)

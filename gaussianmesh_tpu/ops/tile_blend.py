@@ -201,7 +201,8 @@ def blend_tiles_jnp(tile_feats: jax.Array, grid_x: int,
 NCONTRIB_ROW = 4
 
 
-def _make_flat_fwd_kernel(grid_x: int, chunk: int, num_tiles: int):
+def _make_flat_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
+                          with_contrib: bool):
     def kernel(btile_ref, astarts_ref, counts_ref, pair_ref, out_ref,
                ckpt_ref, carry):
         b = pl.program_id(0)
@@ -226,11 +227,9 @@ def _make_flat_fwd_kernel(grid_x: int, chunk: int, num_tiles: int):
                 feat = pair_ref[...]                   # (FEAT, chunk)
                 px, py = _pixel_coords(tile_x, tile_y)
                 alpha, _, _, _, _, _ = _alphas(feat, px, py)
-                start = astarts_ref[t]
-                gidx = b * chunk + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, chunk), 1)
-                in_tile = gidx < start + counts_ref[t]
-                alpha = jnp.where(in_tile, alpha, 0.0)
+                # no in-tile mask needed: beyond-count entries in the
+                # aligned buffer are the dummy feature row (opacity 0),
+                # already gated to alpha = 0
 
                 om = 1.0 - alpha
                 local_cum = _cumprod_lanes(om)
@@ -239,9 +238,15 @@ def _make_flat_fwd_kernel(grid_x: int, chunk: int, num_tiles: int):
                 s_excl = s_in[:, None] * _shift_one_lane(local_cum, 1.0)
                 w = alpha * s_excl * include
 
-                out_ref[0, 0, :] += jnp.sum(w * feat[ROW_R][None, :], axis=1)
-                out_ref[0, 1, :] += jnp.sum(w * feat[ROW_G][None, :], axis=1)
-                out_ref[0, 2, :] += jnp.sum(w * feat[ROW_B][None, :], axis=1)
+                # color accumulation as one MXU contraction instead of
+                # three lane reductions: (PIX, chunk) x (3, chunk)^T
+                rgb3 = feat[ROW_R:ROW_B + 1]           # (3, chunk)
+                colors = jax.lax.dot_general(
+                    w, rgb3, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (PIX, 3)
+                out_ref[0, 0, :] += colors[:, 0]
+                out_ref[0, 1, :] += colors[:, 1]
+                out_ref[0, 2, :] += colors[:, 2]
 
                 carry[0, :] = s[:, s.shape[1] - 1]
                 # product of included om == transmittance at the last
@@ -250,11 +255,14 @@ def _make_flat_fwd_kernel(grid_x: int, chunk: int, num_tiles: int):
                 # instead of a second scan. Normalize out s_in.
                 s_last_inc = jnp.min(jnp.where(include, local_cum, 1.0), axis=1)
                 carry[1, :] *= s_last_inc
-                rank = (gidx - start + 1).astype(jnp.float32)
-                contributes = include & (alpha > 0.0)
-                carry[2, :] = jnp.maximum(
-                    carry[2, :],
-                    jnp.max(jnp.where(contributes, rank, 0.0), axis=1))
+                if with_contrib:
+                    gidx = b * chunk + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, chunk), 1)
+                    rank = (gidx - astarts_ref[t] + 1).astype(jnp.float32)
+                    contributes = include & (alpha > 0.0)
+                    carry[2, :] = jnp.maximum(
+                        carry[2, :],
+                        jnp.max(jnp.where(contributes, rank, 0.0), axis=1))
 
             pl.when(jnp.max(s_in) >= T_EPS)(_work)
 
@@ -288,11 +296,7 @@ def _make_flat_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
             feat = pair_ref[...]
             px, py = _pixel_coords(tile_x, tile_y)
             alpha, gate, e_pow, raw, dx, dy = _alphas(feat, px, py)
-            start = astarts_ref[t]
-            gidx = b * chunk + jax.lax.broadcasted_iota(
-                jnp.int32, (1, chunk), 1)
-            in_tile = gidx < start + counts_ref[t]
-            alpha = jnp.where(in_tile, alpha, 0.0)
+            # padding entries are the dummy row (opacity 0) — gated already
 
             g_r = g_ref[0, 0, :][:, None]
             g_g = g_ref[0, 1, :][:, None]
@@ -315,7 +319,7 @@ def _make_flat_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
             dalpha = (dldw * s_excl - q / om) * include
 
             capped = raw > ALPHA_MAX
-            live = gate & (~capped) & in_tile
+            live = gate & (~capped)
             dalpha = jnp.where(live, dalpha, 0.0)
             dop_elem = dalpha * e_pow
             dpower = dalpha * alpha
@@ -345,10 +349,11 @@ def _make_flat_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def blend_pairs_pallas(pair_featsT: jax.Array, block_tile: jax.Array,
                        aligned_starts: jax.Array, counts: jax.Array,
-                       grid_x: int, num_tiles: int, chunk: int = 256):
+                       grid_x: int, num_tiles: int, chunk: int = 256,
+                       with_contrib: bool = False):
     """Flat-grid ragged blend.
 
     pair_featsT: (FEAT, P) chunk-aligned pair features, P % chunk == 0
@@ -359,16 +364,16 @@ def blend_pairs_pallas(pair_featsT: jax.Array, block_tile: jax.Array,
     tiles with no blocks come back zeroed — callers overlay final_t=1.
     """
     out, _ = _flat_fwd_impl(pair_featsT, block_tile, aligned_starts, counts,
-                            grid_x, num_tiles, chunk)
+                            grid_x, num_tiles, chunk, with_contrib)
     return out
 
 
 def _flat_fwd_impl(pair_featsT, block_tile, aligned_starts, counts,
-                   grid_x, num_tiles, chunk):
+                   grid_x, num_tiles, chunk, with_contrib=False):
     f_rows, p = pair_featsT.shape
     assert f_rows == FEAT and p % chunk == 0, (f_rows, p, chunk)
     pb = p // chunk
-    kernel = _make_flat_fwd_kernel(grid_x, chunk, num_tiles)
+    kernel = _make_flat_fwd_kernel(grid_x, chunk, num_tiles, with_contrib)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -399,15 +404,15 @@ def _flat_fwd_impl(pair_featsT, block_tile, aligned_starts, counts,
 
 
 def _flat_fwd_rule(pair_featsT, block_tile, aligned_starts, counts,
-                   grid_x, num_tiles, chunk):
+                   grid_x, num_tiles, chunk, with_contrib):
     out, ckpt = _flat_fwd_impl(pair_featsT, block_tile, aligned_starts,
-                               counts, grid_x, num_tiles, chunk)
+                               counts, grid_x, num_tiles, chunk, with_contrib)
     _, final_t, _ = out
     return out, (pair_featsT, block_tile, aligned_starts, counts, ckpt,
                  final_t)
 
 
-def _flat_bwd_rule(grid_x, num_tiles, chunk, res, cts):
+def _flat_bwd_rule(grid_x, num_tiles, chunk, with_contrib, res, cts):
     pair_featsT, block_tile, aligned_starts, counts, ckpt, final_t = res
     g_color, g_final_t, _ = cts
     f_rows, p = pair_featsT.shape

@@ -98,9 +98,7 @@ def rasterize_band(arrays: render_mod.GaussianArrays, cam: CameraArrays,
     feat = tile_blend.pack_features(mean2d, band.conic, arrays.opacity,
                                     arrays.rgb, band.valid)
     if cfg.use_pallas:
-        pair_feats = binning.gather_pair_features(
-            feat, tiles.aligned_gid, tiles.pair_to_aligned,
-            tiles.depth_order, cfg.max_tiles_per_gaussian)
+        pair_feats = feat[tiles.aligned_gid]
         pair_feats = jax.lax.optimization_barrier(pair_feats)
         pair_featsT = pair_feats.T
         color_t, final_t_t, _ = tile_blend.blend_pairs_pallas(
