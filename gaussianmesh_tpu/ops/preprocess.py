@@ -54,8 +54,20 @@ def tile_grid(width: int, height: int) -> tuple[int, int]:
 
 
 def preprocess(means3d: jax.Array, cov6: jax.Array, cam: CameraArrays,
-               width: int, height: int) -> Preprocessed:
-    """Project N Gaussians; compute conics, radii and tile rects."""
+               width: int, height: int,
+               opacity: jax.Array | None = None) -> Preprocessed:
+    """Project N Gaussians; compute conics, radii and tile rects.
+
+    When `opacity` is given, tile rects use the Gaussian's GATED footprint
+    instead of the reference's 3-sigma circle: the blend kernel zeroes any
+    pixel with alpha = op*exp(-q/2) < 1/255 (forward.cu:330-345), so only
+    the ellipse {q <= 2 ln(255 op)} can contribute. Its axis-aligned bbox
+    half-extents are sqrt(qcut * Sigma2d_xx/yy) — exact, per-axis, and
+    opacity-aware — intersected with the reference circle so the enqueued
+    pair set stays a subset of the reference's (output-identical; typically
+    2-4x fewer pairs). `radius` itself keeps the reference formula (it
+    feeds visibility and densification stats).
+    """
     V = cam.viewmatrix
     grid_x, grid_y = tile_grid(width, height)
 
@@ -120,14 +132,29 @@ def preprocess(means3d: jax.Array, cov6: jax.Array, cam: CameraArrays,
 
     px_s = jax.lax.stop_gradient(px)
     py_s = jax.lax.stop_gradient(py)
-    rmin_x = jnp.clip(jnp.floor((px_s - radius) / TILE), 0, grid_x).astype(jnp.int32)
-    rmin_y = jnp.clip(jnp.floor((py_s - radius) / TILE), 0, grid_y).astype(jnp.int32)
-    rmax_x = jnp.clip(jnp.floor((px_s + radius + TILE - 1) / TILE), 0, grid_x).astype(jnp.int32)
-    rmax_y = jnp.clip(jnp.floor((py_s + radius + TILE - 1) / TILE), 0, grid_y).astype(jnp.int32)
+    radius_f32 = radius.astype(jnp.float32)
+    if opacity is not None:
+        op_s = jax.lax.stop_gradient(opacity).reshape(-1)
+        qcut = 2.0 * jnp.log(jnp.maximum(op_s, 1e-12) * 255.0)
+        qpos = jnp.maximum(qcut, 0.0)
+        # c_a/c_c are the 2D covariance diagonal (incl. the 0.3 low-pass);
+        # +0.5px covers pixel-center vs bbox-edge rounding
+        hx = jnp.minimum(radius_f32,
+                         jnp.sqrt(qpos * jax.lax.stop_gradient(c_a)) + 0.5)
+        hy = jnp.minimum(radius_f32,
+                         jnp.sqrt(qpos * jax.lax.stop_gradient(c_c)) + 0.5)
+        gated = qcut > 0.0
+    else:
+        hx = hy = radius_f32
+        gated = True
+    rmin_x = jnp.clip(jnp.floor((px_s - hx) / TILE), 0, grid_x).astype(jnp.int32)
+    rmin_y = jnp.clip(jnp.floor((py_s - hy) / TILE), 0, grid_y).astype(jnp.int32)
+    rmax_x = jnp.clip(jnp.floor((px_s + hx) / TILE) + 1, 0, grid_x).astype(jnp.int32)
+    rmax_y = jnp.clip(jnp.floor((py_s + hy) / TILE) + 1, 0, grid_y).astype(jnp.int32)
     tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
     finite = jnp.isfinite(px_s) & jnp.isfinite(py_s) & jnp.isfinite(det_safe)
-    valid = in_front & det_ok & (tiles_touched > 0) & finite
+    valid = in_front & det_ok & (tiles_touched > 0) & finite & gated
     radius = jnp.where(valid, radius, 0)
     tiles_touched = jnp.where(valid, tiles_touched, 0).astype(jnp.int32)
 

@@ -32,10 +32,28 @@ class RasterizerConfig:
     width: int
     height: int
     max_per_tile: int = 512
+    # kept for API compatibility; the offset-exact binning has no
+    # per-gaussian budget (capacity is global via
+    # pair_capacity_per_gaussian)
     max_tiles_per_gaussian: int = 32
-    blend_chunk: int = 256
-    pair_capacity_per_gaussian: int = 16
+    blend_chunk: int = 128
+    # capacity headroom over measured live counts (~7.8 pairs, ~2.8 rows
+    # per gaussian at 1080p/100K): overflow is counted and reported by
+    # TileLists, never silent, so these can be tuned per workload
+    pair_capacity_per_gaussian: int = 10
+    row_capacity_per_gaussian: int = 4
     use_pallas: bool = True
+
+    def expand_capacity(self, n: int) -> int:
+        return n * self.pair_capacity_per_gaussian
+
+    def row_capacity(self, n: int) -> int:
+        return n * self.row_capacity_per_gaussian
+
+    def pair_capacity(self, n: int) -> int:
+        # alignment padding budget: ~half a chunk per tile on average
+        p = self.expand_capacity(n) + self.num_tiles * (self.blend_chunk // 2)
+        return -(-p // self.blend_chunk) * self.blend_chunk
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -84,7 +102,8 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
     (scene/mesh_based_gaussian_model.py:264-278).
     """
     gx, gy = cfg.grid
-    prep = prep_mod.preprocess(means3d, cov6, cam, cfg.width, cfg.height)
+    prep = prep_mod.preprocess(means3d, cov6, cam, cfg.width, cfg.height,
+                               opacity=opacity)
     if active_mask is not None:
         # capacity+mask models: dead slots are culled entirely
         prep = prep._replace(
@@ -95,14 +114,12 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
 
     prep_static = jax.tree.map(jax.lax.stop_gradient, prep)
     n = means3d.shape[0]
-    # pair capacity also covers typical per-tile chunk-alignment padding
-    # (~half a chunk per tile; overflow is reported, never silent)
-    p_cap = (n * cfg.pair_capacity_per_gaussian
-             + cfg.num_tiles * (cfg.blend_chunk // 2))
-    p_cap = -(-p_cap // cfg.blend_chunk) * cfg.blend_chunk
+    p_cap = cfg.pair_capacity(n)
     tiles = binning.build_tile_lists(
-        prep_static, gx, gy, cfg.max_per_tile, cfg.max_tiles_per_gaussian,
-        pair_capacity=p_cap, chunk=cfg.blend_chunk)
+        prep_static, gx, gy, cfg.max_per_tile,
+        expand_capacity=cfg.expand_capacity(n), pair_capacity=p_cap,
+        chunk=cfg.blend_chunk, opacity=opacity,
+        row_capacity=cfg.row_capacity(n))
 
     mean2d = prep.mean2d
     if mean2d_offset is not None:
@@ -111,7 +128,14 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
         mean2d, prep.conic, opacity.reshape(-1), rgb, prep.valid)
 
     if cfg.use_pallas:
-        pair_feats = feat[tiles.aligned_gid]
+        # two wide gathers: feature table -> sorted pair domain -> aligned
+        # blend layout. The relocation has a deterministic inverse-gather
+        # VJP; the table gather's VJP is the single per-gaussian
+        # scatter-add (the reference backward's atomicAdd, made
+        # deterministic).
+        feat_sorted = feat[tiles.sorted_gid]
+        pair_feats = binning.relocate_aligned(
+            feat_sorted, tiles.aligned_src, tiles.sorted_shift, p_cap)
         # barrier: otherwise XLA fuses the gather into the transpose and
         # re-executes it once per feature row (16x the HBM traffic)
         pair_feats = jax.lax.optimization_barrier(pair_feats)

@@ -282,15 +282,21 @@ def _make_flat_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
         t = btile_ref[b]
         later_t = btile_ref[b + 1]                     # processed just before us
 
-        @pl.when(t < num_tiles)
+        # the suffix-accumulator seed must land at every tile change, even
+        # when the tile's last blocks are saturated (they're skipped below)
+        @pl.when((t < num_tiles) & (t != later_t))
+        def _init_tile():
+            qcarry[0, :] = g_ref[0, 3, :] * g_ref[0, NCONTRIB_ROW, :]
+
+        s_start_pre = ckpt_ref[0, 0, :]
+        # a block whose start-transmittance is saturated for every pixel
+        # contributed nothing in the forward (include == 0 everywhere):
+        # its pair grads are zero and chunk_sum == 0 leaves qcarry alone —
+        # skip the compute (mirror of the forward's early exit)
+        live_blk = (t < num_tiles) & (jnp.max(s_start_pre) >= T_EPS)
+
+        @pl.when(live_blk)
         def _valid():
-            g_t = g_ref[0, 3, :]
-            t_final = g_ref[0, NCONTRIB_ROW, :]        # stashed final_t
-
-            @pl.when(t != later_t)
-            def _init_tile():
-                qcarry[0, :] = g_t * t_final
-
             tile_x = t % grid_x
             tile_y = t // grid_x
             feat = pair_ref[...]
@@ -302,7 +308,7 @@ def _make_flat_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
             g_g = g_ref[0, 1, :][:, None]
             g_b = g_ref[0, 2, :][:, None]
 
-            s_start = ckpt_ref[0, 0, :]
+            s_start = s_start_pre
             om = 1.0 - alpha
             local_cum = _cumprod_lanes(om)
             s = s_start[:, None] * local_cum
@@ -342,7 +348,7 @@ def _make_flat_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
 
             qcarry[0, :] += chunk_sum
 
-        @pl.when(t >= num_tiles)
+        @pl.when(~live_blk)
         def _pad_block():
             dpart_ref[...] = jnp.zeros_like(dpart_ref)
 

@@ -69,11 +69,18 @@ def rasterize_band(arrays: render_mod.GaussianArrays, cam: CameraArrays,
     (grid_y = gy_local * n_tile_devices)."""
     gx, _ = cfg.grid
     prep = prep_mod.preprocess(arrays.xyz, arrays.cov6, cam, cfg.width,
-                               cfg.height)
+                               cfg.height, opacity=arrays.opacity)
     prep = prep._replace(valid=prep.valid & arrays.active)
     full_radii = jnp.where(prep.valid, prep.radius, 0)
 
     band = clip_to_band(prep, y0_tiles, gy_local)
+    # shift y into band-local pixel coords BEFORE binning: the blend kernel
+    # and the binning-time ellipse cull both derive pixel positions from
+    # local tile ids; the Gaussian footprint is translation invariant so
+    # shifting the mean is exact (constant shift — gradient unchanged).
+    band = band._replace(mean2d=band.mean2d - jnp.stack(
+        [jnp.zeros_like(y0_tiles, jnp.float32),
+         (y0_tiles * TILE).astype(jnp.float32)])[None, :])
     band_static = jax.tree.map(jax.lax.stop_gradient, band)
     n = arrays.xyz.shape[0]
     p_cap = (n * cfg.pair_capacity_per_gaussian
@@ -81,24 +88,22 @@ def rasterize_band(arrays: render_mod.GaussianArrays, cam: CameraArrays,
     p_cap = -(-p_cap // cfg.blend_chunk) * cfg.blend_chunk
     tiles = binning.build_tile_lists(band_static, gx, gy_local,
                                      cfg.max_per_tile,
-                                     cfg.max_tiles_per_gaussian,
+                                     expand_capacity=cfg.expand_capacity(n),
                                      pair_capacity=p_cap,
-                                     chunk=cfg.blend_chunk)
+                                     chunk=cfg.blend_chunk,
+                                     opacity=arrays.opacity,
+                                     row_capacity=cfg.row_capacity(n))
 
     mean2d = band.mean2d
     if mean2d_offset is not None:
         mean2d = mean2d + mean2d_offset
-    # shift y into band-local pixel coords: the blend kernel derives pixel
-    # positions from local tile ids; the Gaussian footprint is translation
-    # invariant so shifting the mean is exact.
-    mean2d = mean2d - jnp.stack(
-        [jnp.zeros_like(y0_tiles, jnp.float32),
-         (y0_tiles * TILE).astype(jnp.float32)])[None, :]
 
     feat = tile_blend.pack_features(mean2d, band.conic, arrays.opacity,
                                     arrays.rgb, band.valid)
     if cfg.use_pallas:
-        pair_feats = feat[tiles.aligned_gid]
+        feat_sorted = feat[tiles.sorted_gid]
+        pair_feats = binning.relocate_aligned(
+            feat_sorted, tiles.aligned_src, tiles.sorted_shift, p_cap)
         pair_feats = jax.lax.optimization_barrier(pair_feats)
         pair_featsT = pair_feats.T
         color_t, final_t_t, _ = tile_blend.blend_pairs_pallas(
