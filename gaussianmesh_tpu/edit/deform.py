@@ -26,7 +26,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gaussianmesh_tpu.utils.maths import inv3x3, polar_decompose_rs
+from gaussianmesh_tpu.utils import maths
+from gaussianmesh_tpu.utils.maths import m9_to_dense
 
 
 def build_one_ring(triangles: np.ndarray, n_vertices: int,
@@ -50,25 +51,41 @@ def build_one_ring(triangles: np.ndarray, n_vertices: int,
     return out, mask
 
 
+def deformation_gradients9(v_ref: jax.Array, v_def: jax.Array,
+                           neighbors: jax.Array, mask: jax.Array,
+                           eps: float = 1e-8):
+    """Component-form core: -> (R, S) as 9-tuples of (V,) arrays with
+    T = R S the one-ring deformation gradient (identity on isolated or
+    degenerate vertices). All math is elementwise over full-width (V,)
+    and (V, D) vectors — no (V, 3, 3) intermediates, whose 3x3 minor
+    dims pad to (8, 128) vregs on TPU and cost ~10x the whole phase."""
+    e_ref = v_ref[neighbors] - v_ref[:, None, :]           # (V, D, 3)
+    e_def = v_def[neighbors] - v_def[:, None, :]
+    er = [jnp.where(mask, e_ref[..., i], 0.0) for i in range(3)]  # (V, D)
+    ed = [jnp.where(mask, e_def[..., i], 0.0) for i in range(3)]
+
+    # B = sum_d e e^T (+ eps I), A = sum_d e' e^T — component sums
+    b = [[jnp.sum(er[i] * er[j], axis=-1) for j in range(3)] for i in range(3)]
+    a = [[jnp.sum(ed[i] * er[j], axis=-1) for j in range(3)] for i in range(3)]
+    b9 = tuple(b[i][j] + (eps if i == j else 0.0)
+               for i in range(3) for j in range(3))
+    a9 = tuple(a[i][j] for i in range(3) for j in range(3))
+
+    b_inv, _ = maths.m9_inv_det(b9)   # adjugate — batched LU is scalar-bound
+    t = maths.m9_mul(a9, b_inv)                       # T = A B^{-1}
+    scale = b[0][0] + b[1][1] + b[2][2]               # tr(B) pre-eps
+    ident = maths.m9_identity(scale)
+    t = tuple(jnp.where(scale > 1e-12, c, ci) for c, ci in zip(t, ident))
+    return maths.polar_rs9(t)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def deformation_gradients(v_ref: jax.Array, v_def: jax.Array,
                           neighbors: jax.Array, mask: jax.Array,
                           eps: float = 1e-8):
-    """-> (R (V,3,3), S (V,3,3)) with T = R @ S the one-ring deformation
-    gradient (identity on isolated/degenerate vertices)."""
-    e_ref = jnp.where(mask[..., None],
-                      v_ref[neighbors] - v_ref[:, None, :], 0.0)  # (V, D, 3)
-    e_def = jnp.where(mask[..., None],
-                      v_def[neighbors] - v_def[:, None, :], 0.0)
-
-    b = jnp.einsum("vdi,vdj->vij", e_ref, e_ref) + eps * jnp.eye(3)
-    a = jnp.einsum("vdi,vdj->vij", e_def, e_ref)
-    b_inv, _ = inv3x3(b)   # closed form — batched LU on TPU is scalar-bound
-    t = a @ b_inv                                  # T = A B^{-1}
-    # degenerate rings (near-zero B) -> identity transform
-    scale = jnp.einsum("vdi,vdi->v", e_ref, e_ref)
-    t = jnp.where((scale > 1e-12)[:, None, None], t, jnp.eye(3))
-    return polar_decompose_rs(t)
+    """Dense-API wrapper: -> (R (V,3,3), S (V,3,3))."""
+    r9, s9 = deformation_gradients9(v_ref, v_def, neighbors, mask, eps)
+    return m9_to_dense(r9), m9_to_dense(s9)
 
 
 class MeshDeformer:

@@ -65,17 +65,41 @@ def barycentric_weights(p, v1, v2, v3):
     return jnp.stack([w1, w2, w3], axis=-1) / s[..., None]
 
 
+def _bary_blend(packed: jax.Array, gaussian_tris: jax.Array,
+                weights: jax.Array):
+    """sum_k w_k packed[tri_k] as explicit per-corner adds: one wide row
+    gather (N, 3, C) + elementwise — no (N, 3, C) reduction layout."""
+    g = packed[gaussian_tris]                            # (N, 3, C)
+    return (weights[:, 0, None] * g[:, 0]
+            + weights[:, 1, None] * g[:, 1]
+            + weights[:, 2, None] * g[:, 2])             # (N, C)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def transfer_deformation9(v_ref, v_def, rot9, shear9, gaussian_tris, weights,
+                          pos0, cov6_0):
+    """Barycentric transfer of per-vertex deformation to Gaussians,
+    component form throughout (edittool/__init__.py:103-131 semantics):
+    dpos = sum w dv; A = (sum w R)(sum w S); cov' = A Sigma A^T.
+    Returns (pos (N,3), cov6 (N,6), r_hat9 (N,9) packed)."""
+    dpos = _bary_blend(v_def - v_ref, gaussian_tris, weights)
+    r_hat = _bary_blend(maths.m9_to_packed(rot9), gaussian_tris, weights)
+    s_hat = _bary_blend(maths.m9_to_packed(shear9), gaussian_tris, weights)
+    a = maths.m9_mul(maths.m9_from_packed(r_hat), maths.m9_from_packed(s_hat))
+    cov6 = maths.congruence_sym6(a, cov6_0)
+    return pos0 + dpos, cov6, r_hat
+
+
 @functools.partial(jax.jit, static_argnames=())
 def transfer_deformation(v_ref, v_def, rot, shear, gaussian_tris, weights,
                          pos0, cov0_full):
-    """Barycentric transfer of per-vertex deformation to Gaussians."""
-    dv = (v_def - v_ref)[gaussian_tris]                  # (N, 3, 3)
-    dpos = jnp.einsum("nk,nkd->nd", weights, dv)
-    r_hat = jnp.einsum("nk,nkij->nij", weights, rot[gaussian_tris])
-    s_hat = jnp.einsum("nk,nkij->nij", weights, shear[gaussian_tris])
-    a = r_hat @ s_hat
-    cov = a @ cov0_full @ jnp.swapaxes(a, -1, -2)
-    return pos0 + dpos, cov, r_hat
+    """Dense-API wrapper kept for external callers: (N,3,3) in/out."""
+    pos, cov6, r_hat = transfer_deformation9(
+        v_ref, v_def, maths.m9_from_dense(rot), maths.m9_from_dense(shear),
+        gaussian_tris, weights, pos0,
+        maths.strip_symmetric(cov0_full))
+    return pos, maths.unstrip_symmetric(cov6), maths.m9_to_dense(
+        maths.m9_from_packed(r_hat))
 
 
 class ObjectDeformer:
@@ -90,7 +114,7 @@ class ObjectDeformer:
         self.n = load_xyz.shape[0]
         self.pos0 = jnp.asarray(load_xyz)
         self.proj0 = mgs.get_proj_xyz(params, binding)
-        self.cov0 = maths.unstrip_symmetric(mgs.get_covariance6(params))
+        self.cov6_0 = mgs.get_covariance6(params)
         self.opacity = mgs.get_opacity(params)[:, 0]
         self.features = mgs.get_features(params)          # (N, K, 3)
         self.sh_degree = max_sh_degree
@@ -104,10 +128,16 @@ class ObjectDeformer:
             self.proj0, jnp.asarray(tri_v[:, 0]), jnp.asarray(tri_v[:, 1]),
             jnp.asarray(tri_v[:, 2]))
 
-        # current (deformed) state
+        # current (deformed) state: cov as (N, 6) uppers, rot as (N, 9)
+        # packed row-major
         self.pos = self.pos0
-        self.cov = self.cov0
-        self.rot = jnp.broadcast_to(jnp.eye(3), (self.n, 3, 3))
+        self.cov6 = self.cov6_0
+        self.rot9 = self._identity_rot9()
+
+    def _identity_rot9(self):
+        return jnp.broadcast_to(
+            jnp.asarray([1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32),
+            (self.n, 9))
 
     def deform(self, deformed_mesh_path_or_vertices) -> None:
         if isinstance(deformed_mesh_path_or_vertices, str):
@@ -115,24 +145,31 @@ class ObjectDeformer:
         else:
             v_def = deformed_mesh_path_or_vertices
         v_def = jnp.asarray(v_def, jnp.float32)
-        rot, shear = self.deformer.get_rs(v_def)
-        self.pos, self.cov, self.rot = transfer_deformation(
-            self.deformer.v_ref, v_def, rot, shear, self.gaussian_tris,
-            self.weights, self.pos0, self.cov0)
+        from gaussianmesh_tpu.edit.deform import deformation_gradients9
+        d = self.deformer
+        rot9, shear9 = deformation_gradients9(d.v_ref, v_def, d.neighbors,
+                                              d.mask)
+        self.pos, self.cov6, self.rot9 = transfer_deformation9(
+            d.v_ref, v_def, rot9, shear9, self.gaussian_tris,
+            self.weights, self.pos0, self.cov6_0)
 
     def reset(self) -> None:
-        self.pos, self.cov = self.pos0, self.cov0
-        self.rot = jnp.broadcast_to(jnp.eye(3), (self.n, 3, 3))
+        self.pos, self.cov6 = self.pos0, self.cov6_0
+        self.rot9 = self._identity_rot9()
 
     def arrays(self, cam: CameraArrays) -> GaussianArrays:
         d = self.pos - cam.campos
         d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-        d_rot = jnp.einsum("nji,nj->ni", self.rot, d)  # Rhat^T d
+        # Rhat^T d, component form
+        rx, ry, rz = maths.m9_vec(
+            maths.m9_t(maths.m9_from_packed(self.rot9)),
+            d[:, 0], d[:, 1], d[:, 2])
+        d_rot = jnp.stack([rx, ry, rz], axis=-1)
         rgb = jnp.maximum(
             sh_utils.eval_sh(self.features, d_rot, self.sh_degree) + 0.5, 0.0)
         return GaussianArrays(
             xyz=self.pos,
-            cov6=maths.strip_symmetric(self.cov),
+            cov6=self.cov6,
             opacity=self.opacity,
             rgb=rgb,
             active=jnp.ones(self.n, bool),
@@ -199,24 +236,27 @@ def make_playback_fn(obj: ObjectDeformer, cam_arrays: CameraArrays,
     (deformed vertices in, image out) — the per-frame hot path of
     BASELINE config 3. Amortizes dispatch and lets XLA overlap the
     mesh-sized deformation math with the rasterization pipeline."""
-    from gaussianmesh_tpu.edit.deform import deformation_gradients
+    from gaussianmesh_tpu.edit.deform import deformation_gradients9
 
     bg_color = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
     d = obj.deformer
 
     @jax.jit
     def frame_fn(v_def):
-        rot, shear = deformation_gradients(d.v_ref, v_def, d.neighbors, d.mask)
-        pos, cov, r_hat = transfer_deformation(
-            d.v_ref, v_def, rot, shear, obj.gaussian_tris, obj.weights,
-            obj.pos0, obj.cov0)
+        rot9, shear9 = deformation_gradients9(d.v_ref, v_def, d.neighbors,
+                                              d.mask)
+        pos, cov6, r_hat = transfer_deformation9(
+            d.v_ref, v_def, rot9, shear9, obj.gaussian_tris, obj.weights,
+            obj.pos0, obj.cov6_0)
         dirs = pos - cam_arrays.campos
         dirs = dirs / jnp.maximum(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
-        d_rot = jnp.einsum("nji,nj->ni", r_hat, dirs)
+        rx, ry, rz = maths.m9_vec(maths.m9_t(maths.m9_from_packed(r_hat)),
+                                  dirs[:, 0], dirs[:, 1], dirs[:, 2])
+        d_rot = jnp.stack([rx, ry, rz], axis=-1)
         rgb = jnp.maximum(
             sh_utils.eval_sh(obj.features, d_rot, obj.sh_degree) + 0.5, 0.0)
-        out = rasterize(pos, maths.strip_symmetric(cov), obj.opacity, rgb,
+        out = rasterize(pos, cov6, obj.opacity, rgb,
                         bg_color, cam_arrays, cfg,
                         active_mask=jnp.ones(obj.n, bool))
         return out.color

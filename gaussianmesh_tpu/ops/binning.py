@@ -140,6 +140,42 @@ def _offset_expand(counts: jax.Array, capacity: int):
     return off, parent, total, overflow
 
 
+def _tile_starts(sorted_tile: jax.Array, num_tiles: int) -> jax.Array:
+    """starts[t] = first index with sorted_tile >= t, for t in 0..num_tiles.
+
+    jnp.searchsorted lowers to an XLA while-loop whose per-iteration
+    1-element gathers dominate the whole binning pipeline on TPU (~6ms
+    for 8K queries over 900K keys). This two-level search costs ~20x
+    less: an UNROLLED branchless binary search over the 128-stride block
+    heads (log2(m/128) wide-vector steps, each one small gather), then
+    one wide (Q, 128) row gather and a lane count."""
+    m = sorted_tile.shape[0]
+    blk = 128
+    nb = -(-m // blk)
+    pad = nb * blk - m
+    big = jnp.iinfo(jnp.int32).max
+    a = jnp.concatenate([sorted_tile,
+                         jnp.full((pad,), big, jnp.int32)]) if pad else sorted_tile
+    rows = a.reshape(nb, blk)
+    heads = rows[:, 0]                                   # (nb,)
+    q = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+
+    # first block b with heads[b] >= q  (range 0..nb)
+    lo = jnp.zeros_like(q)
+    hi = jnp.full_like(q, nb)
+    steps = max(1, nb.bit_length())
+    for _ in range(steps):
+        active = lo < hi            # converged lanes stop (mid stays < nb)
+        mid = (lo + hi) // 2
+        go_right = heads[mid] < q
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    # crossing block: the one before lo (its head < q, next head >= q)
+    b = jnp.maximum(lo - 1, 0)
+    in_block = jnp.sum((rows[b] < q[:, None]).astype(jnp.int32), axis=1)
+    return jnp.where(lo > 0, b * blk + in_block, 0).astype(jnp.int32)
+
+
 def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
                      max_per_tile: int, expand_capacity: int,
                      pair_capacity: int, chunk: int = 128,
@@ -158,29 +194,38 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
 
     # 2. stage 1: gaussians -> tile ROWS of their rect (offset-exact).
     # Every int-valued f32 field below is exact (values < 2^24).
-    rmin = prep.rect_min[order].astype(jnp.float32)
-    rmax = prep.rect_max[order].astype(jnp.float32)
-    valid_r = prep.valid[order]
-    heights = jnp.where(valid_r, (rmax[:, 1] - rmin[:, 1]).astype(jnp.int32), 0)
-    roff, rank1, total_rows, row_overflow = _offset_expand(heights, m1)
-
-    m2d = prep.mean2d[order]
-    con = prep.conic[order]
+    # Per-gaussian fields go through ONE wide (N, 12) gather at `order`:
+    # TPU gathers cost per ROW, so five separate field gathers (and
+    # especially a 1-col opacity gather, ~39 ns/elem) cost ~6x one fused
+    # row gather of the same data.
     if opacity is not None:
-        op_r = jax.lax.stop_gradient(opacity.reshape(-1))[order]
+        op_flat = jax.lax.stop_gradient(opacity.reshape(-1))
     else:
-        op_r = jnp.ones((n,), jnp.float32)
+        op_flat = jnp.ones((n,), jnp.float32)
     # gate threshold: alpha = op*exp(-q/2) >= 1/255 -> q <= 2 ln(255 op);
     # slack keeps fp rounding from culling a pair the kernel would keep
-    qcut_g = 2.0 * jnp.log(jnp.maximum(op_r, 1e-12) / ALPHA_MIN) + _CULL_SLACK
-    tab1 = jnp.stack([
-        roff[:n].astype(jnp.float32),
-        rmin[:, 1],                                   # first rect row
-        m2d[:, 0], m2d[:, 1],
-        con[:, 0], con[:, 1], con[:, 2],
-        jnp.maximum(qcut_g, 0.0),
-        rmin[:, 0], rmax[:, 0],                       # x clip range
-        order.astype(jnp.float32),
+    qcut_all = 2.0 * jnp.log(jnp.maximum(op_flat, 1e-12) / ALPHA_MIN) + _CULL_SLACK
+    gtab = jnp.stack([
+        prep.rect_min[:, 1].astype(jnp.float32),      # 0 first rect row
+        prep.mean2d[:, 0], prep.mean2d[:, 1],         # 1, 2
+        prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],  # 3, 4, 5
+        jnp.maximum(qcut_all, 0.0),                   # 6
+        prep.rect_min[:, 0].astype(jnp.float32),      # 7 x clip lo
+        prep.rect_max[:, 0].astype(jnp.float32),      # 8 x clip hi
+        prep.rect_max[:, 1].astype(jnp.float32),      # 9 rect row end
+        prep.valid.astype(jnp.float32),               # 10
+        jnp.arange(n, dtype=jnp.float32),             # 11 gaussian id
+    ], axis=-1)                                                  # (N, 12)
+    gtab_o = gtab[order]                                         # (N, 12)
+
+    heights = jnp.where(gtab_o[:, 10] > 0.0,
+                        (gtab_o[:, 9] - gtab_o[:, 0]), 0.0).astype(jnp.int32)
+    roff, rank1, total_rows, row_overflow = _offset_expand(heights, m1)
+
+    tab1 = jnp.concatenate([
+        roff[:n, None].astype(jnp.float32),
+        gtab_o[:, :9],
+        gtab_o[:, 11:12],
     ], axis=-1)                                                  # (N, 11)
     row_tab = tab1[rank1]                                        # (m1, 11)
 
@@ -229,9 +274,7 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
         (pair_tile, gid_slot), num_keys=1, is_stable=True)
 
     # 6. ranges + aligned layout (gathers, no big scatter)
-    starts = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
-        side="left").astype(jnp.int32)
+    starts = _tile_starts(sorted_tile, num_tiles)
     raw_counts = starts[1:] - starts[:-1]
     counts = jnp.minimum(raw_counts, max_per_tile)
     tile_overflow = jnp.sum(raw_counts - counts)
@@ -265,8 +308,12 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
 
     pb = p_cap // chunk
     block_starts = jnp.arange(pb + 1, dtype=jnp.int32) * chunk
-    block_tile = (jnp.searchsorted(astarts, block_starts, side="right") - 1
-                  ).astype(jnp.int32)
+    # block_tile[b] = #{t : astarts[t] <= b*chunk} - 1 (searchsorted-right
+    # over chunk-ALIGNED astarts): a (T+1)-sized scatter + one cumsum
+    # instead of a second XLA binary-search while-loop
+    delta = jnp.zeros((pb + 1,), jnp.int32).at[astarts // chunk].add(
+        1, mode="drop")
+    block_tile = jnp.cumsum(delta).astype(jnp.int32) - 1
     block_tile = jnp.where(block_starts < total_aligned, block_tile, num_tiles)
 
     return TileLists(

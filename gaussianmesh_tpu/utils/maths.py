@@ -205,3 +205,143 @@ def polar_decompose_rs(A: jax.Array, iters: int = 7) -> tuple[jax.Array, jax.Arr
     s_mat = jnp.swapaxes(r, -1, -2) @ safe_a
     s_mat = 0.5 * (s_mat + jnp.swapaxes(s_mat, -1, -2))
     return r, s_mat
+
+
+# ---------------------------------------------------------------------------
+# Component-form ("struct of arrays") batched 3x3 algebra.
+#
+# A batch of 3x3 matrices stored as (..., 3, 3) puts the 3x3 block in the
+# TPU's (sublane, lane) minor dims — padded to (8, 128), a ~114x waste —
+# and every stack/transpose/matmul on it lowers to layout shuffles. The
+# edit hot path (deformation gradients, polar decomposition, covariance
+# transforms; SURVEY.md §2.9) instead carries matrices as a tuple of nine
+# (...,)-shaped component arrays, row-major (xx, xy, xz, yx, ..., zz):
+# every operation below is pure elementwise VPU math over full-width
+# vectors. Dense (..., 3, 3) or packed (..., 9) forms exist only at API
+# boundaries (gathers want packed rows; tests want dense).
+# ---------------------------------------------------------------------------
+
+def m9_from_dense(A: jax.Array):
+    """(..., 3, 3) -> 9-tuple of (...,) components, row-major."""
+    return tuple(A[..., i, j] for i in range(3) for j in range(3))
+
+
+def m9_to_dense(m) -> jax.Array:
+    """9-tuple -> (..., 3, 3)."""
+    rows = [jnp.stack(m[3 * i:3 * i + 3], axis=-1) for i in range(3)]
+    return jnp.stack(rows, axis=-2)
+
+
+def m9_from_packed(p: jax.Array):
+    """(..., 9) row-major packed -> 9-tuple."""
+    return tuple(p[..., k] for k in range(9))
+
+
+def m9_to_packed(m) -> jax.Array:
+    """9-tuple -> (..., 9) row-major packed (the gather-friendly form)."""
+    return jnp.stack(m, axis=-1)
+
+
+def m9_identity(like: jax.Array):
+    one = jnp.ones_like(like)
+    zero = jnp.zeros_like(like)
+    return (one, zero, zero, zero, one, zero, zero, zero, one)
+
+
+def m9_t(m):
+    xx, xy, xz, yx, yy, yz, zx, zy, zz = m
+    return (xx, yx, zx, xy, yy, zy, xz, yz, zz)
+
+
+def m9_mul(a, b):
+    """Component 3x3 matmul: 27 fused multiply-adds on full-width vectors."""
+    a00, a01, a02, a10, a11, a12, a20, a21, a22 = a
+    b00, b01, b02, b10, b11, b12, b20, b21, b22 = b
+    return (
+        a00 * b00 + a01 * b10 + a02 * b20,
+        a00 * b01 + a01 * b11 + a02 * b21,
+        a00 * b02 + a01 * b12 + a02 * b22,
+        a10 * b00 + a11 * b10 + a12 * b20,
+        a10 * b01 + a11 * b11 + a12 * b21,
+        a10 * b02 + a11 * b12 + a12 * b22,
+        a20 * b00 + a21 * b10 + a22 * b20,
+        a20 * b01 + a21 * b11 + a22 * b21,
+        a20 * b02 + a21 * b12 + a22 * b22,
+    )
+
+
+def m9_vec(m, vx, vy, vz):
+    """m @ v -> 3-tuple of components."""
+    xx, xy, xz, yx, yy, yz, zx, zy, zz = m
+    return (xx * vx + xy * vy + xz * vz,
+            yx * vx + yy * vy + yz * vz,
+            zx * vx + zy * vy + zz * vz)
+
+
+def m9_det(m):
+    xx, xy, xz, yx, yy, yz, zx, zy, zz = m
+    return (xx * (yy * zz - yz * zy) - xy * (yx * zz - yz * zx)
+            + xz * (yx * zy - yy * zx))
+
+
+def m9_inv_det(m, eps: float = 1e-12):
+    """Adjugate inverse. -> (inv 9-tuple, det)."""
+    a, b, c, d, e, f, g, h, i = m
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    r = 1.0 / jnp.where(jnp.abs(det) > eps, det, 1.0)
+    return (co00 * r, co01 * r, co02 * r,
+            co10 * r, co11 * r, co12 * r,
+            co20 * r, co21 * r, co22 * r), det
+
+
+def m9_scale(m, s):
+    return tuple(c * s for c in m)
+
+
+def polar_rs9(t, iters: int = 7):
+    """Component-form polar decomposition T = R S (see polar_decompose_rs
+    for the algorithm notes; identical math, SoA layout)."""
+    det_t = m9_det(t)
+    ok = jnp.abs(det_t) > 1e-9
+    ident = m9_identity(det_t)
+    safe = tuple(jnp.where(ok, c, ci) for c, ci in zip(t, ident))
+    sign = jnp.where(det_t < 0, -1.0, 1.0)
+    x = m9_scale(safe, sign)
+
+    for _ in range(iters):
+        inv, det = m9_inv_det(x)
+        inv_t = m9_t(inv)
+        s = jnp.clip(jnp.abs(det) ** (-1.0 / 3.0), 0.1, 10.0)
+        x = tuple(0.5 * (xc * s + ic / s) for xc, ic in zip(x, inv_t))
+
+    s_mat = m9_mul(m9_t(x), safe)
+    st = m9_t(s_mat)
+    s_sym = tuple(0.5 * (a + b) for a, b in zip(s_mat, st))
+    return x, s_sym
+
+
+def sym6_to_m9(c6: jax.Array):
+    """(..., 6) uppers (xx,xy,xz,yy,yz,zz) -> symmetric 9-tuple."""
+    xx, xy, xz, yy, yz, zz = (c6[..., i] for i in range(6))
+    return (xx, xy, xz, xy, yy, yz, xz, yz, zz)
+
+
+def m9_sym6(m) -> jax.Array:
+    """9-tuple (assumed symmetric) -> (..., 6) uppers."""
+    xx, xy, xz, _, yy, yz, _, _, zz = m
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)
+
+
+def congruence_sym6(a, c6: jax.Array) -> jax.Array:
+    """A Sigma A^T for symmetric Sigma given as (..., 6) uppers -> (..., 6)."""
+    sig = sym6_to_m9(c6)
+    return m9_sym6(m9_mul(a, m9_mul(sig, m9_t(a))))

@@ -82,8 +82,11 @@ def test_object_deformer_rigid_motion(tmp_path):
     want = np.asarray(obj.pos0) @ Q.T + t
     np.testing.assert_allclose(np.asarray(obj.pos), want, atol=1e-4)
     # covariance rotates: cov' = Q cov Q^T
-    want_cov = Q @ np.asarray(obj.cov0) @ Q.T
-    np.testing.assert_allclose(np.asarray(obj.cov), want_cov, atol=1e-4)
+    from gaussianmesh_tpu.utils import maths
+    cov0_full = np.asarray(maths.unstrip_symmetric(obj.cov6_0))
+    want_cov = Q @ cov0_full @ Q.T
+    got_cov = np.asarray(maths.unstrip_symmetric(obj.cov6))
+    np.testing.assert_allclose(got_cov, want_cov, atol=1e-4)
 
 
 def test_scene_editor_renders_deformed(tmp_path):
