@@ -58,11 +58,11 @@ _CULL_SLACK = 1e-4
 
 class TileLists(NamedTuple):
     counts: jax.Array          # (num_tiles,) int32 — clamped to max_per_tile
+    starts: jax.Array          # (num_tiles + 1,) int32 — per-tile ranges in
+                               # the SORTED pair domain
     aligned_starts: jax.Array  # (num_tiles + 1,) int32 — aligned range starts
     sorted_gid: jax.Array      # (expand_capacity,) int32 — tile-grouped,
                                # depth-ordered gaussian ids; N = dummy
-    aligned_src: jax.Array     # (pair_capacity,) int32 — aligned position ->
-                               # index into sorted_gid (-1 = padding)
     sorted_shift: jax.Array    # (expand_capacity,) int32 — sorted position ->
                                # aligned position offset (aligned = p + shift;
                                # out-of-range marked pair_capacity)
@@ -287,15 +287,6 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
     pair_overflow = jnp.maximum(total_aligned - p_cap, 0)
     astarts = jnp.minimum(astarts, p_cap)
 
-    # aligned position ja (in tile t): src = ja - astarts[t] + starts[t],
-    # live iff ja < astarts[t] + counts[t]; both right-hand sides are
-    # segment-constant over the aligned domain -> one fused 2-col pass
-    seg_vals = jnp.stack([starts[:num_tiles] - astarts[:num_tiles],
-                          astarts[:num_tiles] + counts], axis=-1)
-    seg = _segment_const(seg_vals, astarts[:num_tiles], p_cap)   # (p_cap, 2)
-    ja = jnp.arange(p_cap, dtype=jnp.int32)
-    aligned_src = jnp.where(ja < seg[:, 1], ja + seg[:, 0], -1)
-
     # sorted position p -> aligned position (for the deterministic
     # inverse-gather in the blend VJP): aligned = p + shift[t(p)] when the
     # entry is within its tile's (possibly clamped) count
@@ -318,9 +309,9 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
 
     return TileLists(
         counts=counts,
+        starts=starts,
         aligned_starts=astarts,
         sorted_gid=sorted_gid,
-        aligned_src=aligned_src,
         sorted_shift=sorted_shift,
         block_tile=jnp.clip(block_tile, 0, num_tiles),
         num_rendered=jnp.minimum(num_valid, m).astype(jnp.int32),
@@ -330,53 +321,22 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def relocate_aligned(feat_sorted: jax.Array, aligned_src: jax.Array,
-                     sorted_shift: jax.Array, p_cap: int) -> jax.Array:
-    """Sorted-domain features (m, F) -> chunk-aligned (p_cap, F) via the
-    src gather; padding slots read the dummy row m. The VJP is the exact
-    inverse gather (every live aligned slot has a unique sorted source),
-    deterministic and scatter-free — this pair of gathers replaces the
-    reference backward's atomicAdd into the pair buffer."""
-    pad = jnp.concatenate([feat_sorted, jnp.zeros_like(feat_sorted[:1])])
-    return pad[jnp.where(aligned_src >= 0, aligned_src,
-                         feat_sorted.shape[0])]
-
-
-def _reloc_fwd(feat_sorted, aligned_src, sorted_shift, p_cap):
-    return (relocate_aligned(feat_sorted, aligned_src, sorted_shift, p_cap),
-            (aligned_src, sorted_shift, feat_sorted.shape[0]))
-
-
-def _reloc_bwd(p_cap, res, d_aligned):
-    aligned_src, sorted_shift, m = res
-    d_pad = jnp.concatenate([d_aligned, jnp.zeros_like(d_aligned[:1])])
-    p_idx = jnp.arange(m, dtype=jnp.int32)
-    dest = jnp.clip(p_idx + sorted_shift, 0, p_cap)
-    return (d_pad[dest], None, None)
-
-
-relocate_aligned.defvjp(_reloc_fwd, _reloc_bwd)
-
-
 def tile_id_lists(tiles: TileLists, num_tiles: int, max_per_tile: int,
                   n: int) -> jax.Array:
     """Dense (num_tiles, max_per_tile) id matrix for the jnp fallback path
-    (padded with the dummy id N). Built from the aligned src map."""
-    p_cap = tiles.aligned_src.shape[0]
+    (padded with the dummy id N). Built from the sorted domain + starts."""
     m = tiles.sorted_gid.shape[0]
-    gid_pad = jnp.concatenate([tiles.sorted_gid,
-                               jnp.full((1,), n, jnp.int32)])
-    aligned_gid = gid_pad[jnp.where(tiles.aligned_src >= 0,
-                                    tiles.aligned_src, m)]
-    j = jnp.arange(p_cap, dtype=jnp.int32)
-    tile_of_j = jnp.clip(
-        jnp.searchsorted(tiles.aligned_starts, j, side="right") - 1,
-        0, num_tiles - 1)
-    pos = j - tiles.aligned_starts[tile_of_j]
-    dest = jnp.where(pos < max_per_tile,
-                     tile_of_j * max_per_tile + pos,
+    starts = tiles.starts
+    seg = _segment_const(
+        jnp.stack([jnp.arange(num_tiles, dtype=jnp.int32),
+                   starts[:num_tiles] + tiles.counts], axis=-1),
+        starts[:num_tiles], m)                       # (m, 2): tile, end
+    p = jnp.arange(m, dtype=jnp.int32)
+    tile_of_p = seg[:, 0]
+    rank = p - starts[tile_of_p]
+    live = (p < seg[:, 1]) & (rank < max_per_tile) & (p < starts[num_tiles])
+    dest = jnp.where(live, tile_of_p * max_per_tile + rank,
                      num_tiles * max_per_tile)
     lists = jnp.full((num_tiles * max_per_tile,), n, jnp.int32)
-    lists = lists.at[dest].set(aligned_gid, mode="drop")
+    lists = lists.at[dest].set(tiles.sorted_gid, mode="drop")
     return lists.reshape(num_tiles, max_per_tile)

@@ -128,21 +128,25 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
         mean2d, prep.conic, opacity.reshape(-1), rgb, prep.valid)
 
     if cfg.use_pallas:
-        # two wide gathers: feature table -> sorted pair domain -> aligned
-        # blend layout. The relocation has a deterministic inverse-gather
-        # VJP; the table gather's VJP is the single per-gaussian
-        # scatter-add (the reference backward's atomicAdd, made
-        # deterministic).
-        feat_sorted = feat[tiles.sorted_gid]
-        pair_feats = binning.relocate_aligned(
-            feat_sorted, tiles.aligned_src, tiles.sorted_shift, p_cap)
+        # ONE wide gather (feature table -> sorted pair domain, padded by
+        # a chunk of dummy rows for the kernel's DMA overrun); the blend
+        # kernel relocates each aligned block from the sorted buffer with
+        # a dynamic-offset DMA — no materialized aligned layout. The
+        # table gather's VJP is the single per-gaussian scatter-add (the
+        # reference backward's atomicAdd, made deterministic).
+        m = tiles.sorted_gid.shape[0]
+        pad_len = cfg.blend_chunk + (-m - cfg.blend_chunk) % cfg.blend_chunk
+        gid_pad = jnp.concatenate([
+            tiles.sorted_gid,
+            jnp.full((pad_len,), n, jnp.int32)])
+        feat_sorted = feat[gid_pad]                      # (m_pad, F)
         # barrier: otherwise XLA fuses the gather into the transpose and
         # re-executes it once per feature row (16x the HBM traffic)
-        pair_feats = jax.lax.optimization_barrier(pair_feats)
-        pair_featsT = pair_feats.T                       # (F, P)
-        color_t, final_t_t, ncon_t = tile_blend.blend_pairs_pallas(
-            pair_featsT, tiles.block_tile, tiles.aligned_starts, tiles.counts,
-            gx, cfg.num_tiles, cfg.blend_chunk)
+        feat_sorted = jax.lax.optimization_barrier(feat_sorted)
+        color_t, final_t_t, ncon_t = tile_blend.blend_sorted_pallas(
+            feat_sorted.T, tiles.block_tile, tiles.aligned_starts,
+            tiles.starts, tiles.counts, tiles.sorted_shift,
+            gx, cfg.num_tiles, p_cap, cfg.blend_chunk)
     else:
         lists = binning.tile_id_lists(tiles, cfg.num_tiles, cfg.max_per_tile, n)
         tile_feats = jnp.swapaxes(feat[lists], 1, 2)     # (T, F, K)

@@ -456,3 +456,334 @@ def _flat_bwd_rule(grid_x, num_tiles, chunk, with_contrib, res, cts):
 
 
 blend_pairs_pallas.defvjp(_flat_fwd_rule, _flat_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-domain blend: the aligned relocation happens INSIDE the kernel.
+#
+# The aligned pair layout exists only so each 128-wide block belongs to one
+# tile; materializing it in HBM costs a p_cap-row gather + transpose
+# (~8 ms/frame at 1080p). Instead the kernel reads each block's features
+# straight from the SORTED pair buffer: block b of tile t covers sorted
+# columns [starts[t] + b*chunk - astarts[t], ...) — contiguous, just not
+# 128-aligned (Mosaic cannot slice VMEM at unaligned lane offsets). So
+# the kernel takes TWO auto-pipelined views of the sorted buffer — the
+# 128-aligned block containing src0 and the next one, both index-mapped
+# from the prefetched scalars — and extracts the misaligned window with
+# one dynamic lane roll. Lanes past the tile's count hold the NEXT
+# tile's real rows, so a live-lane mask zeroes their alphas (the aligned
+# path used dummy rows instead).
+#
+# The backward walks in reverse with the same reads; its per-block
+# gradient writes stay on the ALIGNED domain (disjoint blocks, no
+# conflicts) and are mapped back to sorted rows by one inverse gather
+# (sorted_shift) — still scatter-free and deterministic.
+# ---------------------------------------------------------------------------
+
+
+def _sorted_alpha_mask(b, chunk, astarts_ref, counts_ref, t):
+    """(1, chunk) bool — lanes within tile t's clamped count."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    pos = b * chunk - astarts_ref[t] + lane
+    return pos < counts_ref[t]
+
+
+def _sorted_window(refA, refB, b, chunk, astarts_ref, starts_ref, t):
+    """Extract the (FEAT, chunk) sorted-domain window starting at src0
+    from its two aligned blocks via one dynamic lane roll."""
+    src0 = starts_ref[t] + b * chunk - astarts_ref[t]
+    off = jax.lax.rem(src0, chunk)
+    window = jnp.concatenate([refA[...], refB[...]], axis=1)
+    shifted = pltpu.roll(window, 2 * chunk - off, axis=1)
+    return shifted[:, :chunk]
+
+
+def _sorted_feat_specs(chunk: int, nb_feat: int, reverse: bool):
+    """Two BlockSpecs viewing the sorted feature buffer at the aligned
+    block containing src0 and the one after (clamped in range)."""
+    def blk_of(b, btile, astarts, counts, starts):
+        tc = jnp.minimum(btile[b], counts.shape[0] - 1)  # clamp pad sentinel
+        src0 = starts[tc] + b * chunk - astarts[tc]
+        return jnp.clip(src0 // chunk, 0, nb_feat - 2)
+
+    def stepof(b):
+        return pl.num_programs(0) - 1 - b if reverse else b
+
+    specA = pl.BlockSpec(
+        (FEAT, chunk),
+        lambda b, btile, astarts, counts, starts: (
+            0, blk_of(stepof(b), btile, astarts, counts, starts)))
+    specB = pl.BlockSpec(
+        (FEAT, chunk),
+        lambda b, btile, astarts, counts, starts: (
+            0, blk_of(stepof(b), btile, astarts, counts, starts) + 1))
+    return [specA, specB]
+
+
+def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
+                            with_contrib: bool):
+    def kernel(btile_ref, astarts_ref, counts_ref, starts_ref, featA_ref,
+               featB_ref, out_ref, ckpt_ref, carry):
+        b = pl.program_id(0)
+        t = btile_ref[b]
+        prev_t = jnp.where(b > 0, btile_ref[jnp.maximum(b - 1, 0)], -1)
+        next_t = btile_ref[b + 1]
+
+        @pl.when(t < num_tiles)
+        def _valid():
+            @pl.when(t != prev_t)
+            def _first():
+                carry[...] = jnp.ones_like(carry)
+                carry[2, :] = jnp.zeros_like(carry[2, :])
+                out_ref[...] = jnp.zeros_like(out_ref)
+
+            s_in = carry[0, :]
+            ckpt_ref[0, 0, :] = s_in
+
+            def _work():
+                tile_x = t % grid_x
+                tile_y = t // grid_x
+                feat = _sorted_window(featA_ref, featB_ref, b, chunk,
+                                      astarts_ref, starts_ref, t)
+                px, py = _pixel_coords(tile_x, tile_y)
+                alpha, _, _, _, _, _ = _alphas(feat, px, py)
+                live_lane = _sorted_alpha_mask(b, chunk, astarts_ref,
+                                               counts_ref, t)
+                alpha = jnp.where(live_lane, alpha, 0.0)
+
+                om = 1.0 - alpha
+                local_cum = _cumprod_lanes(om)
+                s = s_in[:, None] * local_cum
+                include = s >= T_EPS
+                s_excl = s_in[:, None] * _shift_one_lane(local_cum, 1.0)
+                w = alpha * s_excl * include
+
+                rgb3 = feat[ROW_R:ROW_B + 1]           # (3, chunk)
+                colors = jax.lax.dot_general(
+                    w, rgb3, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (PIX, 3)
+                out_ref[0, 0, :] += colors[:, 0]
+                out_ref[0, 1, :] += colors[:, 1]
+                out_ref[0, 2, :] += colors[:, 2]
+
+                carry[0, :] = s[:, s.shape[1] - 1]
+                s_last_inc = jnp.min(jnp.where(include, local_cum, 1.0), axis=1)
+                carry[1, :] *= s_last_inc
+                if with_contrib:
+                    gidx = b * chunk + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, chunk), 1)
+                    rank = (gidx - astarts_ref[t] + 1).astype(jnp.float32)
+                    contributes = include & (alpha > 0.0)
+                    carry[2, :] = jnp.maximum(
+                        carry[2, :],
+                        jnp.max(jnp.where(contributes, rank, 0.0), axis=1))
+
+            pl.when(jnp.max(s_in) >= T_EPS)(_work)
+
+            @pl.when(t != next_t)
+            def _last():
+                out_ref[0, 3, :] = carry[1, :]
+                out_ref[0, NCONTRIB_ROW, :] = carry[2, :]
+
+    return kernel
+
+
+def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
+    def kernel(btile_ref, astarts_ref, counts_ref, starts_ref, featA_ref,
+               featB_ref, ckpt_ref, g_ref, dpart_ref, qcarry):
+        pb = pl.num_programs(0)
+        b = pb - 1 - pl.program_id(0)                  # reverse walk
+        t = btile_ref[b]
+        later_t = btile_ref[b + 1]
+
+        @pl.when((t < num_tiles) & (t != later_t))
+        def _init_tile():
+            qcarry[0, :] = g_ref[0, 3, :] * g_ref[0, NCONTRIB_ROW, :]
+
+        s_start_pre = ckpt_ref[0, 0, :]
+        live_blk = (t < num_tiles) & (jnp.max(s_start_pre) >= T_EPS)
+
+        @pl.when(live_blk)
+        def _valid():
+            tile_x = t % grid_x
+            tile_y = t // grid_x
+            feat = _sorted_window(featA_ref, featB_ref, b, chunk,
+                                  astarts_ref, starts_ref, t)
+            px, py = _pixel_coords(tile_x, tile_y)
+            alpha, gate, e_pow, raw, dx, dy = _alphas(feat, px, py)
+            live_lane = _sorted_alpha_mask(b, chunk, astarts_ref,
+                                           counts_ref, t)
+            alpha = jnp.where(live_lane, alpha, 0.0)
+
+            g_r = g_ref[0, 0, :][:, None]
+            g_g = g_ref[0, 1, :][:, None]
+            g_b = g_ref[0, 2, :][:, None]
+
+            s_start = s_start_pre
+            om = 1.0 - alpha
+            local_cum = _cumprod_lanes(om)
+            s = s_start[:, None] * local_cum
+            include = s >= T_EPS
+            s_excl = s_start[:, None] * _shift_one_lane(local_cum, 1.0)
+            w = alpha * s_excl * include
+
+            dldw = (g_r * feat[ROW_R][None, :] + g_g * feat[ROW_G][None, :]
+                    + g_b * feat[ROW_B][None, :])
+            a_mat = dldw * w
+            chunk_sum = jnp.sum(a_mat, axis=1)
+            suffix = chunk_sum[:, None] - _cumsum_lanes(a_mat)
+            q = qcarry[0, :][:, None] + suffix
+            dalpha = (dldw * s_excl - q / om) * include
+
+            capped = raw > ALPHA_MAX
+            live = gate & (~capped) & live_lane
+            dalpha = jnp.where(live, dalpha, 0.0)
+            dop_elem = dalpha * e_pow
+            dpower = dalpha * alpha
+
+            zero = jnp.zeros((chunk,), jnp.float32)
+            dpart_ref[...] = jnp.stack([
+                jnp.sum(dpower * (-(feat[ROW_CA][None, :] * dx
+                                    + feat[ROW_CB][None, :] * dy)), axis=0),
+                jnp.sum(dpower * (-(feat[ROW_CC][None, :] * dy
+                                    + feat[ROW_CB][None, :] * dx)), axis=0),
+                jnp.sum(dpower * (-0.5 * dx * dx), axis=0),
+                jnp.sum(dpower * (-dx * dy), axis=0),
+                jnp.sum(dpower * (-0.5 * dy * dy), axis=0),
+                jnp.sum(dop_elem, axis=0),
+                jnp.sum(jnp.where(live_lane, g_r * w, 0.0), axis=0),
+                jnp.sum(jnp.where(live_lane, g_g * w, 0.0), axis=0),
+                jnp.sum(jnp.where(live_lane, g_b * w, 0.0), axis=0),
+                zero, zero, zero, zero, zero, zero, zero,
+            ])
+
+            qcarry[0, :] += chunk_sum
+
+        @pl.when(~live_blk)
+        def _pad_block():
+            dpart_ref[...] = jnp.zeros_like(dpart_ref)
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def blend_sorted_pallas(feat_sortedT: jax.Array, block_tile: jax.Array,
+                        aligned_starts: jax.Array, starts: jax.Array,
+                        counts: jax.Array, sorted_shift: jax.Array,
+                        grid_x: int, num_tiles: int, p_cap: int,
+                        chunk: int = 128, with_contrib: bool = False):
+    """Flat-grid ragged blend over the SORTED pair buffer.
+
+    feat_sortedT: (FEAT, m_pad) sorted, tile-grouped, depth-ordered pair
+        features, padded by at least `chunk` columns past the live range
+        (padding may be garbage — it is never unmasked).
+    block_tile / aligned_starts / counts: aligned-layout bookkeeping
+        (blocks are aligned-domain; reads are sorted-domain).
+    starts: (num_tiles + 1,) sorted-domain tile ranges.
+    sorted_shift: sorted position -> aligned offset (backward map).
+    Returns (color (T, 3, PIX), final_t (T, PIX), n_contrib (T, PIX)).
+    """
+    out, _ = _sorted_fwd_impl(feat_sortedT, block_tile, aligned_starts,
+                              starts, counts, grid_x, num_tiles, p_cap,
+                              chunk, with_contrib)
+    return out
+
+
+def _sorted_fwd_impl(feat_sortedT, block_tile, aligned_starts, starts,
+                     counts, grid_x, num_tiles, p_cap, chunk,
+                     with_contrib=False):
+    f_rows, m_pad = feat_sortedT.shape
+    assert f_rows == FEAT and m_pad % chunk == 0, (f_rows, m_pad, chunk)
+    pb = p_cap // chunk
+    kernel = _make_sorted_fwd_kernel(grid_x, chunk, num_tiles, with_contrib)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(pb,),
+        in_specs=_sorted_feat_specs(chunk, m_pad // chunk, reverse=False),
+        out_specs=(
+            pl.BlockSpec((1, 8, PIX),
+                         lambda b, btile, *s: (jnp.minimum(btile[b], num_tiles - 1), 0, 0)),
+            pl.BlockSpec((1, 1, PIX), lambda b, *s: (b, 0, 0)),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, PIX), jnp.float32)],
+    )
+    out8, ckpt = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles, 8, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((pb, 1, PIX), jnp.float32),
+        ),
+    )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
+      counts.astype(jnp.int32), starts.astype(jnp.int32), feat_sortedT,
+      feat_sortedT)
+
+    has = counts > 0
+    color = jnp.where(has[:, None, None], out8[:, 0:3], 0.0)
+    final_t = jnp.where(has[:, None], out8[:, 3], 1.0)
+    n_contrib = jnp.where(has[:, None], out8[:, NCONTRIB_ROW], 0.0)
+    return (color, final_t, n_contrib), ckpt
+
+
+def _sorted_fwd_rule(feat_sortedT, block_tile, aligned_starts, starts,
+                     counts, sorted_shift, grid_x, num_tiles, p_cap, chunk,
+                     with_contrib=False):
+    out, ckpt = _sorted_fwd_impl(feat_sortedT, block_tile, aligned_starts,
+                                 starts, counts, grid_x, num_tiles, p_cap,
+                                 chunk, with_contrib)
+    _, final_t, _ = out
+    return out, (feat_sortedT, block_tile, aligned_starts, starts, counts,
+                 sorted_shift, ckpt, final_t)
+
+
+def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
+    (feat_sortedT, block_tile, aligned_starts, starts, counts, sorted_shift,
+     ckpt, final_t) = res
+    g_color, g_final_t, _ = cts
+    f_rows, m_pad = feat_sortedT.shape
+    pb = p_cap // chunk
+
+    zeros = jnp.zeros_like(final_t)
+    g8 = jnp.stack([g_color[:, 0], g_color[:, 1], g_color[:, 2],
+                    g_final_t, final_t, zeros, zeros, zeros], axis=1)
+    kernel = _make_sorted_bwd_kernel(grid_x, chunk, num_tiles)
+
+    def rev(b, *s):
+        return (0, pl.num_programs(0) - 1 - b)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(pb,),
+        in_specs=_sorted_feat_specs(chunk, m_pad // chunk, reverse=True) + [
+            pl.BlockSpec((1, 1, PIX), lambda b, *s: (pl.num_programs(0) - 1 - b, 0, 0)),
+            pl.BlockSpec((1, 8, PIX),
+                         lambda b, btile, *s: (
+                             jnp.minimum(btile[pl.num_programs(0) - 1 - b],
+                                         num_tiles - 1), 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((FEAT, chunk), rev),
+        scratch_shapes=[pltpu.VMEM((8, PIX), jnp.float32)],
+    )
+    dpartT = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((FEAT, p_cap), jnp.float32),
+    )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
+      counts.astype(jnp.int32), starts.astype(jnp.int32), feat_sortedT,
+      feat_sortedT, ckpt, g8)
+
+    # aligned -> sorted: deterministic inverse gather (each live sorted
+    # row has a unique aligned position); padding columns get zero
+    m = sorted_shift.shape[0]
+    dpart = dpartT.T                                     # (p_cap, FEAT)
+    d_pad = jnp.concatenate([dpart, jnp.zeros_like(dpart[:1])])
+    p_idx = jnp.arange(m, dtype=jnp.int32)
+    dest = jnp.clip(p_idx + sorted_shift, 0, p_cap)
+    d_sorted = d_pad[dest]                               # (m, FEAT)
+    d_featT = jnp.zeros((f_rows, m_pad), dpart.dtype).at[:, :m].set(
+        d_sorted.T)
+    return (d_featT, None, None, None, None, None)
+
+
+blend_sorted_pallas.defvjp(_sorted_fwd_rule, _sorted_bwd_rule)

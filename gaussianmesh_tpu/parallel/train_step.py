@@ -101,14 +101,17 @@ def rasterize_band(arrays: render_mod.GaussianArrays, cam: CameraArrays,
     feat = tile_blend.pack_features(mean2d, band.conic, arrays.opacity,
                                     arrays.rgb, band.valid)
     if cfg.use_pallas:
-        feat_sorted = feat[tiles.sorted_gid]
-        pair_feats = binning.relocate_aligned(
-            feat_sorted, tiles.aligned_src, tiles.sorted_shift, p_cap)
-        pair_feats = jax.lax.optimization_barrier(pair_feats)
-        pair_featsT = pair_feats.T
-        color_t, final_t_t, _ = tile_blend.blend_pairs_pallas(
-            pair_featsT, tiles.block_tile, tiles.aligned_starts, tiles.counts,
-            gx, gx * gy_local, cfg.blend_chunk)
+        m = tiles.sorted_gid.shape[0]
+        pad_len = cfg.blend_chunk + (-m - cfg.blend_chunk) % cfg.blend_chunk
+        gid_pad = jnp.concatenate([
+            tiles.sorted_gid,
+            jnp.full((pad_len,), n, jnp.int32)])
+        feat_sorted = feat[gid_pad]
+        feat_sorted = jax.lax.optimization_barrier(feat_sorted)
+        color_t, final_t_t, _ = tile_blend.blend_sorted_pallas(
+            feat_sorted.T, tiles.block_tile, tiles.aligned_starts,
+            tiles.starts, tiles.counts, tiles.sorted_shift,
+            gx, gx * gy_local, p_cap, cfg.blend_chunk)
     else:
         lists = binning.tile_id_lists(tiles, gx * gy_local, cfg.max_per_tile, n)
         tile_feats = jnp.swapaxes(feat[lists], 1, 2)
