@@ -81,10 +81,17 @@ def transfer_deformation9(v_ref, v_def, rot9, shear9, gaussian_tris, weights,
     """Barycentric transfer of per-vertex deformation to Gaussians,
     component form throughout (edittool/__init__.py:103-131 semantics):
     dpos = sum w dv; A = (sum w R)(sum w S); cov' = A Sigma A^T.
-    Returns (pos (N,3), cov6 (N,6), r_hat9 (N,9) packed)."""
-    dpos = _bary_blend(v_def - v_ref, gaussian_tris, weights)
-    r_hat = _bary_blend(maths.m9_to_packed(rot9), gaussian_tris, weights)
-    s_hat = _bary_blend(maths.m9_to_packed(shear9), gaussian_tris, weights)
+    Returns (pos (N,3), cov6 (N,6), r_hat9 (N,9) packed).
+
+    All per-vertex fields ride ONE (V, 21) table through a single wide
+    row gather (TPU gathers cost per row; three separate gathers at the
+    same indices cost 3x)."""
+    vtab = jnp.concatenate([v_def - v_ref, maths.m9_to_packed(rot9),
+                            maths.m9_to_packed(shear9)], axis=-1)   # (V, 21)
+    blended = _bary_blend(vtab, gaussian_tris, weights)             # (N, 21)
+    dpos = blended[:, 0:3]
+    r_hat = blended[:, 3:12]
+    s_hat = blended[:, 12:21]
     a = maths.m9_mul(maths.m9_from_packed(r_hat), maths.m9_from_packed(s_hat))
     cov6 = maths.congruence_sym6(a, cov6_0)
     return pos0 + dpos, cov6, r_hat

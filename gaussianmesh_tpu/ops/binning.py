@@ -245,26 +245,31 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
     tx1 = jnp.clip(hi, row_tab[:, 8], row_tab[:, 9]).astype(jnp.int32)
     widths = jnp.where(i1 < total_rows, jnp.maximum(tx1 - tx0, 0), 0)
 
-    # 4. stage 2: rows -> (tile, gaussian) pairs (offset-exact again;
-    # two-stage expansion keeps the pair domain at the LIVE pair count
-    # instead of the rect-bbox area — no corner-tile waste at all)
-    toff, rank2, total, pair_lost = _offset_expand(widths, m)
-    tab2 = jnp.stack([
-        toff[:m1].astype(jnp.float32),
-        tx0.astype(jnp.float32),
-        ty.astype(jnp.float32),
-        row_tab[:, 10],                               # gaussian id
-    ], axis=-1)                                                  # (m1, 4)
-    slot_tab = tab2[rank2]                                       # (m, 4)
+    # 4. stage 2: rows -> (tile, gaussian) pairs. Every propagated field
+    # is INTEGER-valued, so instead of the rank-recovery pattern
+    # (scatter-max + cummax + a 900K-row gather, ~6.9 ms) the per-row
+    # values ride a diff-scatter + cumsum: exact telescoping, one
+    # m1-update scatter and one (m, 3) cumsum (~3.5 ms cheaper).
+    off32 = jnp.cumsum(widths).astype(jnp.int32)
+    toff = jnp.concatenate([jnp.zeros(1, jnp.int32), off32])     # (m1+1,)
+    total = toff[m1]
+    pair_lost = jnp.maximum(total - m, 0)
+    # propagated columns: tx0 - toff (so tx = value + j), ty, gid
+    vals = jnp.stack([
+        tx0 - toff[:m1],
+        ty,
+        row_tab[:, 10].astype(jnp.int32),
+    ], axis=-1)                                                  # (m1, 3)
+    slot_vals = _segment_const(vals, jnp.minimum(toff[:m1], m), m)  # (m, 3)
 
     j = jnp.arange(m, dtype=jnp.int32)
-    tx = slot_tab[:, 1].astype(jnp.int32) + (j - slot_tab[:, 0].astype(jnp.int32))
-    tyj = slot_tab[:, 2].astype(jnp.int32)
+    tx = slot_vals[:, 0] + j
+    tyj = slot_vals[:, 1]
     pair_ok = j < total
     rect_overflow = row_overflow + pair_lost
 
     pair_tile = jnp.where(pair_ok, tyj * grid_x + tx, num_tiles)
-    gid_slot = jnp.where(pair_ok, slot_tab[:, 3].astype(jnp.int32), n)
+    gid_slot = jnp.where(pair_ok, slot_vals[:, 2], n)
     num_valid = jnp.minimum(total, m)
 
     # 5. one stable sort by tile id; slots are depth-ordered so stability

@@ -40,12 +40,10 @@ def sh_to_rgb(sh: jax.Array) -> jax.Array:
     return sh * C0 + 0.5
 
 
-def sh_basis(dirs: jax.Array, degree: int) -> jax.Array:
-    """SH basis values for unit directions (..., 3) -> (..., (degree+1)**2).
-
-    Sign convention follows the reference kernel exactly
-    (forward.cu:30-59): b1 = (-y, +z, -x) * C1, etc.
-    """
+def _sh_basis_cols(dirs: jax.Array, degree: int) -> list[jax.Array]:
+    """SH basis columns for unit directions (..., 3) as a LIST of (...,)
+    arrays. Sign convention follows the reference kernel exactly
+    (forward.cu:30-59): b1 = (-y, +z, -x) * C1, etc."""
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     one = jnp.ones_like(x)
     cols = [C0 * one]
@@ -73,7 +71,12 @@ def sh_basis(dirs: jax.Array, degree: int) -> jax.Array:
             C3[5] * z * (xx - yy),
             C3[6] * x * (xx - 3.0 * yy),
         ]
-    return jnp.stack(cols, axis=-1)
+    return cols
+
+
+def sh_basis(dirs: jax.Array, degree: int) -> jax.Array:
+    """SH basis values for unit directions (..., 3) -> (..., (degree+1)**2)."""
+    return jnp.stack(_sh_basis_cols(dirs, degree), axis=-1)
 
 
 def eval_sh(sh: jax.Array, dirs: jax.Array, degree: int) -> jax.Array:
@@ -81,10 +84,21 @@ def eval_sh(sh: jax.Array, dirs: jax.Array, degree: int) -> jax.Array:
 
     sh:   (..., K, 3) coefficients with K >= (degree+1)**2
     dirs: (..., 3) unit view directions
+
+    Formulated as an unrolled chain of elementwise multiply-adds over
+    full-width (...,) vectors rather than a batched (k, 3)-dim einsum:
+    contracting tiny minor dims puts a (16, 3) block in the TPU's
+    (sublane, lane) tile — padded to (16, 128) — and the batched matmul
+    XLA emits for it runs ~5x slower than this flat form.
     """
-    k = num_sh_coeffs(degree)
-    basis = sh_basis(dirs, degree)  # (..., k)
-    return jnp.einsum("...k,...kc->...c", basis, sh[..., :k, :])
+    cols = _sh_basis_cols(dirs, degree)
+    out = []
+    for c in range(3):
+        acc = cols[0] * sh[..., 0, c]
+        for i in range(1, len(cols)):
+            acc = acc + cols[i] * sh[..., i, c]
+        out.append(acc)
+    return jnp.stack(out, axis=-1)
 
 
 def eval_sh_color(sh: jax.Array, means: jax.Array, campos: jax.Array,
