@@ -245,31 +245,25 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
     tx1 = jnp.clip(hi, row_tab[:, 8], row_tab[:, 9]).astype(jnp.int32)
     widths = jnp.where(i1 < total_rows, jnp.maximum(tx1 - tx0, 0), 0)
 
-    # 4. stage 2: rows -> (tile, gaussian) pairs. Every propagated field
-    # is INTEGER-valued, so instead of the rank-recovery pattern
-    # (scatter-max + cummax + a 900K-row gather, ~6.9 ms) the per-row
-    # values ride a diff-scatter + cumsum: exact telescoping, one
-    # m1-update scatter and one (m, 3) cumsum (~3.5 ms cheaper).
-    off32 = jnp.cumsum(widths).astype(jnp.int32)
-    toff = jnp.concatenate([jnp.zeros(1, jnp.int32), off32])     # (m1+1,)
-    total = toff[m1]
-    pair_lost = jnp.maximum(total - m, 0)
-    # propagated columns: tx0 - toff (so tx = value + j), ty, gid
-    vals = jnp.stack([
-        tx0 - toff[:m1],
-        ty,
-        row_tab[:, 10].astype(jnp.int32),
-    ], axis=-1)                                                  # (m1, 3)
-    slot_vals = _segment_const(vals, jnp.minimum(toff[:m1], m), m)  # (m, 3)
+    # 4. stage 2: rows -> (tile, gaussian) pairs, same rank-recovery
+    # pattern as stage 1 (scatter-max at range starts + cummax) plus ONE
+    # wide 2-column gather. Only two per-row values are needed because a
+    # row's pairs cover CONSECUTIVE tiles: tile(j) = base + j with
+    # base = (ty*gx + tx0) - toff[row] (exact int32 telescoping). An
+    # honestly-measured A/B (int-typed inputs pinned into the timing
+    # loop) has this at 8.3 ms vs 15.5 ms for the previous 3-column
+    # diff-scatter + (m, 3) cumsum — the m1-row scatter of 3-wide diffs
+    # was the cost, not the gather.
+    toff, row_of, total, pair_lost = _offset_expand(widths, m)
+    rect_overflow = row_overflow + pair_lost
+    base = (ty * grid_x + tx0) - toff[:m1]
+    tab2 = jnp.stack([base, row_tab[:, 10].astype(jnp.int32)], axis=-1)
+    sv = tab2[row_of]                                            # (m, 2)
 
     j = jnp.arange(m, dtype=jnp.int32)
-    tx = slot_vals[:, 0] + j
-    tyj = slot_vals[:, 1]
     pair_ok = j < total
-    rect_overflow = row_overflow + pair_lost
-
-    pair_tile = jnp.where(pair_ok, tyj * grid_x + tx, num_tiles)
-    gid_slot = jnp.where(pair_ok, slot_vals[:, 2], n)
+    pair_tile = jnp.where(pair_ok, sv[:, 0] + j, num_tiles)
+    gid_slot = jnp.where(pair_ok, sv[:, 1], n)
     num_valid = jnp.minimum(total, m)
 
     # 5. one stable sort by tile id; slots are depth-ordered so stability
