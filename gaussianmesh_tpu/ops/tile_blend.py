@@ -17,7 +17,7 @@ scan transcription in tests/test_oracle.py) but runs as vectorized VPU math
 Two implementations with identical math:
   * `blend_tiles_jnp` — pure jnp vmap/lax.map over tiles; runs anywhere
     (CPU tests), differentiable by autodiff. The oracle for the kernel.
-  * `blend_pairs_pallas` — Pallas TPU kernels (forward + custom VJP
+  * `blend_sorted_pallas` — Pallas TPU kernels (forward + custom VJP
     backward) streaming the compacted, tile-grouped pair buffer in
     chunk-aligned blocks, flash-attention style: carried transmittance in
     scratch, early exit when the whole tile is saturated, per-tile chunk
@@ -177,287 +177,12 @@ def blend_tiles_jnp(tile_feats: jax.Array, grid_x: int,
     return out[:, 0:3], out[:, 3], out[:, 4]
 
 
-# ---------------------------------------------------------------------------
-# Pallas kernels — flat-grid aligned pair-stream blend
-# ---------------------------------------------------------------------------
-#
-# The binning stage compacts all (tile, gaussian) pairs into one
-# depth-ordered, tile-grouped buffer whose per-tile ranges are padded to
-# chunk boundaries, so every `chunk`-wide block belongs to exactly one
-# tile (`block_tile`). The kernels then run a single flat 1D grid over
-# real blocks only — no per-tile fixed chunk budget, no skipped steps:
-#
-#   forward: walk blocks left->right; scratch carries (log_S, log_T,
-#     n_contrib) across a tile's blocks (tile changes detected from the
-#     prefetched block->tile map); per-block start-transmittance
-#     checkpoints are emitted for the backward.
-#   backward: walk blocks right->left, re-deriving per-entry exp factors
-#     from the checkpoints; each block writes its OWN d-feature block
-#     (alignment makes them disjoint), so the pair-gradient buffer comes
-#     out dense with no scatter combine; the per-gaussian reduction is a
-#     deterministic segment-sum outside (the TPU replacement for
-#     backward.cu's atomicAdds).
+# -----------------------------------------------------------------------------
+# (The earlier flat-grid kernels that required a MATERIALIZED
+# chunk-aligned pair buffer were removed: the sorted-domain kernels
+# below subsume them with one fewer HBM-sized gather per step.)
 
 NCONTRIB_ROW = 4
-
-
-def _make_flat_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
-                          with_contrib: bool):
-    def kernel(btile_ref, astarts_ref, counts_ref, pair_ref, out_ref,
-               ckpt_ref, carry):
-        b = pl.program_id(0)
-        t = btile_ref[b]
-        prev_t = jnp.where(b > 0, btile_ref[jnp.maximum(b - 1, 0)], -1)
-        next_t = btile_ref[b + 1]
-
-        @pl.when(t < num_tiles)
-        def _valid():
-            @pl.when(t != prev_t)
-            def _first():
-                carry[...] = jnp.ones_like(carry)
-                carry[2, :] = jnp.zeros_like(carry[2, :])
-                out_ref[...] = jnp.zeros_like(out_ref)
-
-            s_in = carry[0, :]
-            ckpt_ref[0, 0, :] = s_in
-
-            def _work():
-                tile_x = t % grid_x
-                tile_y = t // grid_x
-                feat = pair_ref[...]                   # (FEAT, chunk)
-                px, py = _pixel_coords(tile_x, tile_y)
-                alpha, _, _, _, _, _ = _alphas(feat, px, py)
-                # no in-tile mask needed: beyond-count entries in the
-                # aligned buffer are the dummy feature row (opacity 0),
-                # already gated to alpha = 0
-
-                om = 1.0 - alpha
-                local_cum = _cumprod_lanes(om)
-                s = s_in[:, None] * local_cum
-                include = s >= T_EPS
-                s_excl = s_in[:, None] * _shift_one_lane(local_cum, 1.0)
-                w = alpha * s_excl * include
-
-                # color accumulation as one MXU contraction, produced
-                # directly in (3, PIX) out-row layout: contracting w's lane
-                # axis inside dot_general avoids both three lane reductions
-                # AND the lane-strided column slices colors[:, c] (each a
-                # layout shuffle; together they cost ~1.4 us/block, 40% of
-                # the kernel)
-                rgb3 = feat[ROW_R:ROW_B + 1]           # (3, chunk)
-                colors3 = jax.lax.dot_general(
-                    rgb3, w, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (3, PIX)
-                out_ref[0, 0:3, :] += colors3
-
-                carry[0, :] = s[:, s.shape[1] - 1]
-                # product of included om == transmittance at the last
-                # included lane == lane-min over included (cumprod of
-                # om <= 1 is monotone non-increasing): a cheap reduction
-                # instead of a second scan. Normalize out s_in.
-                s_last_inc = jnp.min(jnp.where(include, local_cum, 1.0), axis=1)
-                carry[1, :] *= s_last_inc
-                if with_contrib:
-                    gidx = b * chunk + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, chunk), 1)
-                    rank = (gidx - astarts_ref[t] + 1).astype(jnp.float32)
-                    contributes = include & (alpha > 0.0)
-                    carry[2, :] = jnp.maximum(
-                        carry[2, :],
-                        jnp.max(jnp.where(contributes, rank, 0.0), axis=1))
-
-            pl.when(jnp.max(s_in) >= T_EPS)(_work)
-
-            @pl.when(t != next_t)
-            def _last():
-                out_ref[0, 3, :] = carry[1, :]
-                out_ref[0, NCONTRIB_ROW, :] = carry[2, :]
-
-    return kernel
-
-
-def _make_flat_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
-    def kernel(btile_ref, astarts_ref, counts_ref, pair_ref, ckpt_ref,
-               g_ref, dpart_ref, qcarry):
-        pb = pl.num_programs(0)
-        b = pb - 1 - pl.program_id(0)                  # reverse walk
-        t = btile_ref[b]
-        later_t = btile_ref[b + 1]                     # processed just before us
-
-        # the suffix-accumulator seed must land at every tile change, even
-        # when the tile's last blocks are saturated (they're skipped below)
-        @pl.when((t < num_tiles) & (t != later_t))
-        def _init_tile():
-            qcarry[0, :] = g_ref[0, 3, :] * g_ref[0, NCONTRIB_ROW, :]
-
-        s_start_pre = ckpt_ref[0, 0, :]
-        # a block whose start-transmittance is saturated for every pixel
-        # contributed nothing in the forward (include == 0 everywhere):
-        # its pair grads are zero and chunk_sum == 0 leaves qcarry alone —
-        # skip the compute (mirror of the forward's early exit)
-        live_blk = (t < num_tiles) & (jnp.max(s_start_pre) >= T_EPS)
-
-        @pl.when(live_blk)
-        def _valid():
-            tile_x = t % grid_x
-            tile_y = t // grid_x
-            feat = pair_ref[...]
-            px, py = _pixel_coords(tile_x, tile_y)
-            alpha, gate, e_pow, raw, dx, dy = _alphas(feat, px, py)
-            # padding entries are the dummy row (opacity 0) — gated already
-
-            g_r = g_ref[0, 0, :][:, None]
-            g_g = g_ref[0, 1, :][:, None]
-            g_b = g_ref[0, 2, :][:, None]
-
-            s_start = s_start_pre
-            om = 1.0 - alpha
-            local_cum = _cumprod_lanes(om)
-            s = s_start[:, None] * local_cum
-            include = s >= T_EPS
-            s_excl = s_start[:, None] * _shift_one_lane(local_cum, 1.0)
-            w = alpha * s_excl * include
-
-            dldw = (g_r * feat[ROW_R][None, :] + g_g * feat[ROW_G][None, :]
-                    + g_b * feat[ROW_B][None, :])
-            a_mat = dldw * w
-            chunk_sum = jnp.sum(a_mat, axis=1)
-            suffix = chunk_sum[:, None] - _cumsum_lanes(a_mat)
-            q = qcarry[0, :][:, None] + suffix
-            dalpha = (dldw * s_excl - q / om) * include
-
-            capped = raw > ALPHA_MAX
-            live = gate & (~capped)
-            dalpha = jnp.where(live, dalpha, 0.0)
-            dop_elem = dalpha * e_pow
-            dpower = dalpha * alpha
-
-            zero = jnp.zeros((chunk,), feat.dtype)
-            dpart_ref[...] = jnp.stack([
-                jnp.sum(dpower * (-(feat[ROW_CA][None, :] * dx
-                                    + feat[ROW_CB][None, :] * dy)), axis=0),
-                jnp.sum(dpower * (-(feat[ROW_CC][None, :] * dy
-                                    + feat[ROW_CB][None, :] * dx)), axis=0),
-                jnp.sum(dpower * (-0.5 * dx * dx), axis=0),
-                jnp.sum(dpower * (-dx * dy), axis=0),
-                jnp.sum(dpower * (-0.5 * dy * dy), axis=0),
-                jnp.sum(dop_elem, axis=0),
-                jnp.sum(g_r * w, axis=0),
-                jnp.sum(g_g * w, axis=0),
-                jnp.sum(g_b * w, axis=0),
-                zero, zero, zero, zero, zero, zero, zero,
-            ])
-
-            qcarry[0, :] += chunk_sum
-
-        @pl.when(~live_blk)
-        def _pad_block():
-            dpart_ref[...] = jnp.zeros_like(dpart_ref)
-
-    return kernel
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def blend_pairs_pallas(pair_featsT: jax.Array, block_tile: jax.Array,
-                       aligned_starts: jax.Array, counts: jax.Array,
-                       grid_x: int, num_tiles: int, chunk: int = 256,
-                       with_contrib: bool = False):
-    """Flat-grid ragged blend.
-
-    pair_featsT: (FEAT, P) chunk-aligned pair features, P % chunk == 0
-    block_tile:  (P//chunk + 1,) owning tile per block (+ sentinel tail)
-    aligned_starts: (num_tiles + 1,) aligned range starts
-    counts:      (num_tiles,) live entries per tile
-    Returns (color (T, 3, PIX), final_t (T, PIX), n_contrib (T, PIX));
-    tiles with no blocks come back zeroed — callers overlay final_t=1.
-    """
-    out, _ = _flat_fwd_impl(pair_featsT, block_tile, aligned_starts, counts,
-                            grid_x, num_tiles, chunk, with_contrib)
-    return out
-
-
-def _flat_fwd_impl(pair_featsT, block_tile, aligned_starts, counts,
-                   grid_x, num_tiles, chunk, with_contrib=False):
-    f_rows, p = pair_featsT.shape
-    assert f_rows == FEAT and p % chunk == 0, (f_rows, p, chunk)
-    pb = p // chunk
-    kernel = _make_flat_fwd_kernel(grid_x, chunk, num_tiles, with_contrib)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(pb,),
-        in_specs=[pl.BlockSpec((FEAT, chunk), lambda b, *s: (0, b))],
-        out_specs=(
-            pl.BlockSpec((1, 8, PIX),
-                         lambda b, btile, *s: (jnp.minimum(btile[b], num_tiles - 1), 0, 0)),
-            pl.BlockSpec((1, 1, PIX), lambda b, *s: (b, 0, 0)),
-        ),
-        scratch_shapes=[pltpu.VMEM((8, PIX), jnp.float32)],
-    )
-    out8, ckpt = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, 8, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((pb, 1, PIX), jnp.float32),
-        ),
-    )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
-      counts.astype(jnp.int32), pair_featsT)
-
-    has = counts > 0
-    color = jnp.where(has[:, None, None], out8[:, 0:3], 0.0)
-    final_t = jnp.where(has[:, None], out8[:, 3], 1.0)
-    n_contrib = jnp.where(has[:, None], out8[:, NCONTRIB_ROW], 0.0)
-    return (color, final_t, n_contrib), ckpt
-
-
-def _flat_fwd_rule(pair_featsT, block_tile, aligned_starts, counts,
-                   grid_x, num_tiles, chunk, with_contrib):
-    out, ckpt = _flat_fwd_impl(pair_featsT, block_tile, aligned_starts,
-                               counts, grid_x, num_tiles, chunk, with_contrib)
-    _, final_t, _ = out
-    return out, (pair_featsT, block_tile, aligned_starts, counts, ckpt,
-                 final_t)
-
-
-def _flat_bwd_rule(grid_x, num_tiles, chunk, with_contrib, res, cts):
-    pair_featsT, block_tile, aligned_starts, counts, ckpt, final_t = res
-    g_color, g_final_t, _ = cts
-    f_rows, p = pair_featsT.shape
-    pb = p // chunk
-
-    zeros = jnp.zeros_like(final_t)
-    g8 = jnp.stack([g_color[:, 0], g_color[:, 1], g_color[:, 2],
-                    g_final_t, final_t, zeros, zeros, zeros], axis=1)
-    kernel = _make_flat_bwd_kernel(grid_x, chunk, num_tiles)
-
-    def rev(b, *s):
-        return (0, pl.num_programs(0) - 1 - b)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(pb,),
-        in_specs=[
-            pl.BlockSpec((FEAT, chunk), rev),
-            pl.BlockSpec((1, 1, PIX), lambda b, *s: (pl.num_programs(0) - 1 - b, 0, 0)),
-            pl.BlockSpec((1, 8, PIX),
-                         lambda b, btile, *s: (
-                             jnp.minimum(btile[pl.num_programs(0) - 1 - b],
-                                         num_tiles - 1), 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((FEAT, chunk), rev),
-        scratch_shapes=[pltpu.VMEM((8, PIX), jnp.float32)],
-    )
-    dpairT = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((FEAT, p), jnp.float32),
-    )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
-      counts.astype(jnp.int32), pair_featsT, ckpt, g8)
-    return (dpairT, None, None, None)
-
-
-blend_pairs_pallas.defvjp(_flat_fwd_rule, _flat_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
