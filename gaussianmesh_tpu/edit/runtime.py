@@ -237,35 +237,46 @@ class SceneEditor:
         return [camera_from_json(e) for e in entries]
 
 
+def deformed_object_arrays(obj: ObjectDeformer, v_def: jax.Array,
+                           cam_arrays: CameraArrays) -> GaussianArrays:
+    """The per-frame deformation math as a pure function of the deformed
+    vertices: one-ring deformation gradients -> barycentric R/S transfer
+    -> SH at deformation-rotated view directions. Shared by the fused
+    single-chip playback fn and the sharded playback step."""
+    from gaussianmesh_tpu.edit.deform import deformation_gradients9
+
+    d = obj.deformer
+    rot9, shear9 = deformation_gradients9(d.v_ref, v_def, d.neighbors,
+                                          d.mask)
+    pos, cov6, r_hat = transfer_deformation9(
+        d.v_ref, v_def, rot9, shear9, obj.gaussian_tris, obj.weights,
+        obj.pos0, obj.cov6_0)
+    dirs = pos - cam_arrays.campos
+    dirs = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    rx, ry, rz = maths.m9_vec(maths.m9_t(maths.m9_from_packed(r_hat)),
+                              dirs[:, 0], dirs[:, 1], dirs[:, 2])
+    d_rot = jnp.stack([rx, ry, rz], axis=-1)
+    rgb = jnp.maximum(
+        sh_utils.eval_sh(obj.features, d_rot, obj.sh_degree) + 0.5, 0.0)
+    return GaussianArrays(xyz=pos, cov6=cov6, opacity=obj.opacity, rgb=rgb,
+                          active=jnp.ones(obj.n, bool))
+
+
 def make_playback_fn(obj: ObjectDeformer, cam_arrays: CameraArrays,
                      cfg: RasterizerConfig, bg_color=None):
     """Fuse deform + transfer + SH + rasterize into ONE jitted function
     (deformed vertices in, image out) — the per-frame hot path of
     BASELINE config 3. Amortizes dispatch and lets XLA overlap the
     mesh-sized deformation math with the rasterization pipeline."""
-    from gaussianmesh_tpu.edit.deform import deformation_gradients9
-
     bg_color = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
-    d = obj.deformer
 
     @jax.jit
     def frame_fn(v_def):
-        rot9, shear9 = deformation_gradients9(d.v_ref, v_def, d.neighbors,
-                                              d.mask)
-        pos, cov6, r_hat = transfer_deformation9(
-            d.v_ref, v_def, rot9, shear9, obj.gaussian_tris, obj.weights,
-            obj.pos0, obj.cov6_0)
-        dirs = pos - cam_arrays.campos
-        dirs = dirs / jnp.maximum(
-            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
-        rx, ry, rz = maths.m9_vec(maths.m9_t(maths.m9_from_packed(r_hat)),
-                                  dirs[:, 0], dirs[:, 1], dirs[:, 2])
-        d_rot = jnp.stack([rx, ry, rz], axis=-1)
-        rgb = jnp.maximum(
-            sh_utils.eval_sh(obj.features, d_rot, obj.sh_degree) + 0.5, 0.0)
-        out = rasterize(pos, cov6, obj.opacity, rgb,
+        arrays = deformed_object_arrays(obj, v_def, cam_arrays)
+        out = rasterize(arrays.xyz, arrays.cov6, arrays.opacity, arrays.rgb,
                         bg_color, cam_arrays, cfg,
-                        active_mask=jnp.ones(obj.n, bool))
+                        active_mask=arrays.active)
         return out.color
 
     return frame_fn

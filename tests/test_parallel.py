@@ -146,3 +146,31 @@ def test_mesh_trainer_multichip(setup):
     losses = [m["loss"] for m in log]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 1.2
+
+
+def test_sharded_playback_matches_single_chip(tmp_path):
+    """Config-5 path: frames over the data axis, tile bands within;
+    must reproduce the fused single-chip playback fn exactly."""
+    from gaussianmesh_tpu.edit.runtime import SceneEditor, make_playback_fn
+    from gaussianmesh_tpu.parallel.edit_step import make_sharded_playback_fn
+    from tests.test_edit import _make_object
+
+    ply_path, mesh_path, _, _ = _make_object(tmp_path)
+    editor = SceneEditor()
+    editor.add_object(ply_path, mesh_path, name="obj")
+    cam = look_at_camera(W, H, distance=3.5)
+    cfg = _cfg()
+
+    v, f = icosphere(1)
+    frames = jnp.asarray(np.stack([
+        v * (1.0 + 0.2 * np.sin(i)) for i in range(2)]).astype(np.float32))
+
+    mesh = sharding.make_mesh(2, 4)
+    playback = make_sharded_playback_fn(mesh, editor, "obj", cam, cfg)
+    imgs = np.asarray(playback(frames))
+    assert imgs.shape == (2, 3, H, W)
+
+    frame_fn = make_playback_fn(editor.objects["obj"], cam, cfg)
+    for i in range(2):
+        want = np.asarray(frame_fn(frames[i]))
+        np.testing.assert_allclose(imgs[i], want, atol=1e-5)
