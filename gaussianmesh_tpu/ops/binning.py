@@ -176,6 +176,20 @@ def _tile_starts(sorted_tile: jax.Array, num_tiles: int) -> jax.Array:
     return jnp.where(lo > 0, b * blk + in_block, 0).astype(jnp.int32)
 
 
+class PairExpansion(NamedTuple):
+    """Stage 1+2 output: the unsorted (tile, gaussian) pair domain.
+
+    Split out of build_tile_lists so the Gaussian-sharded path can run
+    the expansion locally, exchange pairs to their band owners
+    (all-to-all), and only then sort + build tile lists on the receiver
+    (parallel/gauss_shard.py)."""
+    pair_tile: jax.Array    # (m,) int32; num_tiles = sentinel
+    gid_slot: jax.Array     # (m,) int32; n = sentinel
+    pair_depth: jax.Array   # (m,) f32 view depth of the parent (inf pad)
+    num_valid: jax.Array    # () int32
+    rect_overflow: jax.Array
+
+
 def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
                      max_per_tile: int, expand_capacity: int,
                      pair_capacity: int, chunk: int = 128,
@@ -183,10 +197,26 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
                      row_capacity: int | None = None) -> TileLists:
     n = prep.depth.shape[0]
     num_tiles = grid_x * grid_y
+    exp = expand_pairs(prep, grid_x, grid_y, expand_capacity,
+                       opacity=opacity, row_capacity=row_capacity)
+    # ONE stable sort by tile id; slots are depth-ordered so stability
+    # gives depth order within each tile (the reference's 64-bit
+    # tile|depth key, rasterizer_impl.cu:70-111, without the key pack)
+    sorted_tile, sorted_gid = jax.lax.sort(
+        (exp.pair_tile, exp.gid_slot), num_keys=1, is_stable=True)
+    return finish_tile_lists(sorted_tile, sorted_gid, exp.num_valid,
+                             exp.rect_overflow, num_tiles, max_per_tile,
+                             pair_capacity, chunk)
+
+
+def expand_pairs(prep: Preprocessed, grid_x: int, grid_y: int,
+                 expand_capacity: int, opacity: jax.Array | None = None,
+                 row_capacity: int | None = None) -> PairExpansion:
+    n = prep.depth.shape[0]
+    num_tiles = grid_x * grid_y
     m = expand_capacity
+    assert m < (1 << 24), m  # int-valued f32 transport bound
     m1 = row_capacity if row_capacity is not None else max(m // 2, 1)
-    p_cap = pair_capacity
-    assert p_cap % chunk == 0, (p_cap, chunk)
 
     # 1. depth order (invalid last)
     depth_key = jnp.where(prep.valid, prep.depth, jnp.inf)
@@ -215,8 +245,9 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
         prep.rect_max[:, 1].astype(jnp.float32),      # 9 rect row end
         prep.valid.astype(jnp.float32),               # 10
         jnp.arange(n, dtype=jnp.float32),             # 11 gaussian id
-    ], axis=-1)                                                  # (N, 12)
-    gtab_o = gtab[order]                                         # (N, 12)
+        depth_key,                                    # 12 view depth
+    ], axis=-1)                                                  # (N, 13)
+    gtab_o = gtab[order]                                         # (N, 13)
 
     heights = jnp.where(gtab_o[:, 10] > 0.0,
                         (gtab_o[:, 9] - gtab_o[:, 0]), 0.0).astype(jnp.int32)
@@ -225,9 +256,9 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
     tab1 = jnp.concatenate([
         roff[:n, None].astype(jnp.float32),
         gtab_o[:, :9],
-        gtab_o[:, 11:12],
-    ], axis=-1)                                                  # (N, 11)
-    row_tab = tab1[rank1]                                        # (m1, 11)
+        gtab_o[:, 11:13],
+    ], axis=-1)                                                  # (N, 12)
+    row_tab = tab1[rank1]                                        # (m1, 12)
 
     # 3. per-row EXACT x-extent of the gated ellipse (elementwise)
     i1 = jnp.arange(m1, dtype=jnp.int32)
@@ -257,20 +288,36 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
     toff, row_of, total, pair_lost = _offset_expand(widths, m)
     rect_overflow = row_overflow + pair_lost
     base = (ty * grid_x + tx0) - toff[:m1]
-    tab2 = jnp.stack([base, row_tab[:, 10].astype(jnp.int32)], axis=-1)
-    sv = tab2[row_of]                                            # (m, 2)
+    # depth rides along bitcast to int32 (exact transport) so the whole
+    # propagation stays ONE wide gather
+    tab2 = jnp.stack([base, row_tab[:, 10].astype(jnp.int32),
+                      jax.lax.bitcast_convert_type(
+                          row_tab[:, 11].astype(jnp.float32), jnp.int32)],
+                     axis=-1)
+    sv = tab2[row_of]                                            # (m, 3)
 
     j = jnp.arange(m, dtype=jnp.int32)
     pair_ok = j < total
     pair_tile = jnp.where(pair_ok, sv[:, 0] + j, num_tiles)
     gid_slot = jnp.where(pair_ok, sv[:, 1], n)
+    pair_depth = jnp.where(
+        pair_ok, jax.lax.bitcast_convert_type(sv[:, 2], jnp.float32),
+        jnp.inf)
     num_valid = jnp.minimum(total, m)
+    return PairExpansion(pair_tile=pair_tile, gid_slot=gid_slot,
+                         pair_depth=pair_depth, num_valid=num_valid,
+                         rect_overflow=rect_overflow)
 
-    # 5. one stable sort by tile id; slots are depth-ordered so stability
-    # gives depth order within each tile (the reference's 64-bit
-    # tile|depth key, rasterizer_impl.cu:70-111, without the key pack)
-    sorted_tile, sorted_gid = jax.lax.sort(
-        (pair_tile, gid_slot), num_keys=1, is_stable=True)
+
+def finish_tile_lists(sorted_tile: jax.Array, sorted_gid: jax.Array,
+                      num_valid, rect_overflow, num_tiles: int,
+                      max_per_tile: int, pair_capacity: int,
+                      chunk: int = 128) -> TileLists:
+    """Per-tile ranges + chunk-aligned bookkeeping from the SORTED pair
+    domain (tile-grouped, depth-ordered within tile)."""
+    m = sorted_tile.shape[0]
+    p_cap = pair_capacity
+    assert p_cap % chunk == 0, (p_cap, chunk)
 
     # 6. ranges + aligned layout (gathers, no big scatter)
     starts = _tile_starts(sorted_tile, num_tiles)

@@ -174,3 +174,119 @@ def test_sharded_playback_matches_single_chip(tmp_path):
     for i in range(2):
         want = np.asarray(frame_fn(frames[i]))
         np.testing.assert_allclose(imgs[i], want, atol=1e-5)
+
+
+def test_gauss_sharded_matches_single_chip():
+    """Gaussian-table sharding (pair all-to-all to band owners): pixels
+    AND parameter gradients must match the single-chip rasterizer."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from tests.scenes import random_gaussians
+    from gaussianmesh_tpu.parallel import gauss_shard
+    from gaussianmesh_tpu.models.render import GaussianArrays
+
+    wt, ht = 64, 128            # grid 4 x 8 -> 8 one-tile-row bands
+    n = 400
+    d_ax = 8
+    sc = random_gaussians(n, seed=7)
+    cam = look_at_camera(wt, ht, distance=3.5)
+    cfg = RasterizerConfig(width=wt, height=ht, max_per_tile=256,
+                           use_pallas=False)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:d_ax]), ("shard",))
+    n_local = n // d_ax
+    send_cap = cfg.expand_capacity(n_local)
+
+    def body(xyz, cov6, op, rgb):
+        arrays = GaussianArrays(xyz=xyz, cov6=cov6, opacity=op, rgb=rgb,
+                                active=jnp.ones(xyz.shape[0], bool))
+        out = gauss_shard.rasterize_band_gauss_sharded(
+            arrays, cam, cfg, gy_local=1, axis_name="shard",
+            send_capacity=send_cap, bg=bg)
+        return out.color, out.send_overflow
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
+        out_specs=(P(None, "shard", None), P()),
+        check_vma=False))
+
+    args = (sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"])
+    img, overflow = fn(*args)
+    assert int(overflow) == 0
+
+    ref = rasterize(sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"],
+                    bg, cam, cfg)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.color),
+                               atol=1e-5)
+
+    # gradient parity: cotangents route back through the all_to_all
+    # transpose and land on the owning shard
+    def loss_sharded(op):
+        img, _ = fn(args[0], args[1], op, args[3])
+        return jnp.sum(img * img)
+
+    def loss_single(op):
+        out = rasterize(args[0], args[1], op, args[3], bg, cam, cfg)
+        return jnp.sum(out.color * out.color)
+
+    g_sh = np.asarray(jax.grad(loss_sharded)(sc["opacity"]))
+    g_si = np.asarray(jax.grad(loss_single)(sc["opacity"]))
+    scale = max(np.abs(g_si).max(), 1e-6)
+    np.testing.assert_allclose(g_sh / scale, g_si / scale, atol=1e-5)
+
+
+def test_gauss_sharded_train_step_matches_single_chip(setup):
+    """Sharded-table trainer: loss and parameter updates must match the
+    single-chip loss differentiated as a whole (cross-band gradient
+    terms route back through the all_to_all transpose)."""
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from gaussianmesh_tpu.parallel import gauss_shard
+
+    p, b, st, cams, gts = setup
+    d_ax = 4                   # gy = 4 -> one tile row per band
+    mesh = Mesh(np.asarray(jax.devices()[:d_ax]), ("shard",))
+    opt = OptimizationParams()
+    tx = optim_mod.make_optimizer(optim_mod.mesh_lr_tree_fn(opt, 1.0))
+    opt_state = tx.init(p)
+    cfg = _cfg()
+    lam, mrw = opt.lambda_dssim, opt.alpha_mrloss
+    n = b.alive.shape[0]
+    send_cap = cfg.expand_capacity(n // d_ax)
+
+    step = gauss_shard.make_gauss_sharded_train_step(
+        mesh, tx, cfg, sh_degree=0, lambda_dssim=lam, mr_weight=mrw,
+        width=W, height_valid=H, send_capacity=send_cap)
+
+    cam, gt = cams[0], gts[0]
+    bg = jnp.asarray([0.2, 0.4, 0.6])
+    p2, opt_state2, st2, metrics = step(p, opt_state, st, b,
+                                        tuple(cam), gt, bg)
+    assert int(metrics["tile_overflow"]) == 0
+
+    def loss_single(params, off):
+        arrays = render_mod.mesh_model_arrays(params, b, cam, 0)
+        out = render_mod.render(arrays, cam, cfg, bg, mean2d_offset=off)
+        total = ((1 - lam) * loss_mod.l1_loss(out.color, gt)
+                 + lam * (1 - loss_mod.ssim(out.color, gt)))
+        total += loss_mod.mesh_restrict_loss(
+            mgs.get_scaling(params), b.vertex1, b.vertex2, b.vertex3,
+            b.alive, mrw)
+        return total
+
+    off0 = jnp.zeros((n, 2))
+    loss_ref, grads_ref = jax.value_and_grad(
+        loss_single, argnums=(0, 1))(p, off0)
+    np.testing.assert_allclose(float(metrics["loss"]), float(loss_ref),
+                               rtol=1e-4)
+
+    upd_ref, _ = tx.update(grads_ref[0], tx.init(p), p)
+    p_ref = optax.apply_updates(p, upd_ref)
+    for name in ("bc", "distance", "opacity", "scaling"):
+        a = np.asarray(getattr(p2, name))
+        r = np.asarray(getattr(p_ref, name))
+        scale = np.abs(r).max() + 1e-8
+        np.testing.assert_allclose(a / scale, r / scale, atol=5e-4,
+                                   err_msg=name)
