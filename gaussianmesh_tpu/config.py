@@ -75,6 +75,8 @@ class RuntimeParams:
     use_pallas: bool = True
     data_axis: int = 1           # device-mesh data (camera) axis size
     tile_axis: int = 1           # device-mesh tile axis size
+    shard_gaussians: int = 0     # >1: shard the Gaussian table + bands
+                                 # over this many devices (gauss_shard)
     seed: int = 0
 
 

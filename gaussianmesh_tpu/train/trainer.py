@@ -144,7 +144,14 @@ class MeshTrainer:
         self.logger = None  # optional utils.logging.TrainLogger
 
         self.device_mesh = None
-        if rt.data_axis * rt.tile_axis > 1:
+        self.gauss_mesh = None
+        if rt.shard_gaussians > 1:
+            from jax.sharding import Mesh
+            assert rt.data_axis * rt.tile_axis == 1, \
+                "shard_gaussians is exclusive with the (data, tile) mesh"
+            self.gauss_mesh = Mesh(
+                np.asarray(jax.devices()[:rt.shard_gaussians]), ("shard",))
+        elif rt.data_axis * rt.tile_axis > 1:
             from gaussianmesh_tpu.parallel import sharding as psharding
             self.device_mesh = psharding.make_mesh(rt.data_axis, rt.tile_axis)
 
@@ -246,7 +253,45 @@ class MeshTrainer:
         self._step_fns[key] = step
         return step
 
+    def _get_gauss_sharded_step_fn(self, sh_degree: int, capacity: int):
+        """Gaussian-table-sharded step (parallel.gauss_shard): params,
+        optimizer state and tile bands sharded over one axis; one camera
+        per step; pair all-to-all between band owners."""
+        key = ("gauss", sh_degree, capacity)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        from gaussianmesh_tpu.parallel import gauss_shard
+
+        d_ax = self.gauss_mesh.shape["shard"]
+        assert capacity % d_ax == 0, (capacity, d_ax)
+        gy_pad = -(-((self.ds.height + 15) // 16) // d_ax) * d_ax
+        cfg = self._raster_cfg(height=gy_pad * 16)
+        send_cap = cfg.expand_capacity(capacity // d_ax)
+        inner = gauss_shard.make_gauss_sharded_train_step(
+            self.gauss_mesh, self.tx, cfg, sh_degree,
+            self.opt.lambda_dssim, self.opt.alpha_mrloss,
+            self.ds.width, self.ds.height, send_capacity=send_cap)
+        ds = self.ds
+        has_mask = ds.masks is not None
+        h_pad = gy_pad * 16 - ds.height
+
+        @jax.jit
+        def step(params, opt_state, state, binding, cam_idx, bg):
+            cam = (ds.view[cam_idx], ds.proj[cam_idx], ds.campos[cam_idx],
+                   ds.tanfovx[cam_idx], ds.tanfovy[cam_idx])
+            gt = ds.images[cam_idx].astype(jnp.float32) / 255.0
+            if has_mask:
+                m = ds.masks[cam_idx].astype(jnp.float32) / 255.0
+                gt = gt * m + bg[:, None, None] * (1.0 - m)
+            gt = jnp.pad(gt, ((0, 0), (0, h_pad), (0, 0)))
+            return inner(params, opt_state, state, binding, cam, gt, bg)
+
+        self._step_fns[key] = step
+        return step
+
     def _get_step_fn(self, sh_degree: int, capacity: int):
+        if self.gauss_mesh is not None:
+            return self._get_gauss_sharded_step_fn(sh_degree, capacity)
         if self.device_mesh is not None:
             return self._get_sharded_step_fn(sh_degree, capacity)
         key = (sh_degree, capacity, self.ds.width, self.ds.height)

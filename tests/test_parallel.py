@@ -290,3 +290,35 @@ def test_gauss_sharded_train_step_matches_single_chip(setup):
         scale = np.abs(r).max() + 1e-8
         np.testing.assert_allclose(a / scale, r / scale, atol=5e-4,
                                    err_msg=name)
+
+
+def test_mesh_trainer_gauss_sharded(setup):
+    """MeshTrainer in the Gaussian-table-sharded regime (shard_gaussians=4)
+    trains on the virtual CPU mesh."""
+    from gaussianmesh_tpu.config import OptimizationParams, RuntimeParams
+    from gaussianmesh_tpu.train.trainer import DeviceDataset, MeshTrainer
+    from tests.meshes import icosphere
+
+    _, _, _, cams, gts = setup
+    ds = DeviceDataset(
+        view=jnp.stack([c.viewmatrix for c in cams]),
+        proj=jnp.stack([c.projmatrix for c in cams]),
+        campos=jnp.stack([c.campos for c in cams]),
+        tanfovx=jnp.stack([c.tanfovx for c in cams]),
+        tanfovy=jnp.stack([c.tanfovy for c in cams]),
+        images=jnp.asarray(np.stack([(np.asarray(g) * 255).astype(np.uint8)
+                                     for g in gts])),
+        masks=None, width=W, height=H)
+    v, f = icosphere(1)
+    opt = OptimizationParams(densify_from_iter=5, densify_until_iter=25,
+                             densification_interval=10,
+                             opacity_reset_interval=10_000)
+    rt = RuntimeParams(max_per_tile=128, max_tiles_per_gaussian=16,
+                       use_pallas=False, shard_gaussians=4)
+    tr = MeshTrainer(v, f, ds, opt, rt, spatial_lr_scale=3.2,
+                     init_target=100, max_sh_degree=1)
+    assert tr.gauss_mesh is not None
+    log = tr.train(iterations=30, log_every=10)
+    losses = [m["loss"] for m in log]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 1.2
