@@ -24,6 +24,9 @@ def main(argv=None) -> None:
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--auto_resume", action="store_true", default=False,
+                        help="resume from the latest chkpnt*.ckpt in the "
+                             "model dir (crash recovery)")
     parser.add_argument("--init_target", type=int, default=100_000)
     args = parser.parse_args(argv)
     setup_cache()
@@ -61,9 +64,16 @@ def main(argv=None) -> None:
                           max_sh_degree=model.sh_degree)
     from gaussianmesh_tpu.utils.logging import TrainLogger
     trainer.logger = TrainLogger(model.model_path)
-    if args.start_checkpoint:
-        trainer.restore(load_checkpoint(args.start_checkpoint,
-                                        trainer.capture()))
+    ckpt_path = args.start_checkpoint
+    if args.auto_resume and not ckpt_path:
+        import glob
+        found = glob.glob(os.path.join(model.model_path, "chkpnt*.ckpt"))
+        if found:
+            ckpt_path = max(found, key=lambda f: int(
+                "".join(ch for ch in os.path.basename(f) if ch.isdigit())))
+    if ckpt_path:
+        trainer.restore(load_checkpoint(ckpt_path, trainer.capture()))
+        print(f"[train] resumed from {ckpt_path} at iter {trainer.global_it}")
     print(f"[train] {int(trainer.binding.alive.sum())} gaussians after init")
 
     test_iters = set(args.test_iterations)
@@ -78,7 +88,7 @@ def main(argv=None) -> None:
 
     boundaries = sorted(test_iters | save_iters | ckpt_iters
                         | {opt.iterations})
-    prev = 0
+    prev = trainer.global_it
     for b in boundaries:
         if b <= prev:
             continue

@@ -139,6 +139,7 @@ class MeshTrainer:
             self._split_all(max_split=_round_up(cur, 256))
             cur *= 4
         self.sh_degree = 0
+        self.global_it = 0   # persistent across train() segments + resume
         self._step_fns: dict[Any, Callable] = {}
         self.metrics_log: list[dict] = []
         self.logger = None  # optional utils.logging.TrainLogger
@@ -355,7 +356,12 @@ class MeshTrainer:
         n_cams = self.ds.images.shape[0]
         t0 = time.time()
 
-        for it in range(1, iterations + 1):
+        for step_i in range(iterations):
+            # all schedules key off the GLOBAL iteration: train() is called
+            # in segments between save/test boundaries (cli/train_mesh) and
+            # must not restart the densify window / SH ladder each segment
+            self.global_it += 1
+            it = self.global_it
             if it % 1000 == 0 and self.sh_degree < self.max_sh_degree:
                 self.sh_degree += 1
 
@@ -381,7 +387,7 @@ class MeshTrainer:
                 self.params = self.params.replace(
                     **{"opacity": densify_mod.reset_opacity(self.params).opacity})
 
-            if it % log_every == 0 or it == iterations:
+            if it % log_every == 0 or step_i == iterations - 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 m.update(iter=it, n_alive=int(self.binding.alive.sum()),
                          elapsed=time.time() - t0)
@@ -434,7 +440,7 @@ class MeshTrainer:
         return dict(params=self.params, binding=self.binding,
                     mesh_v=self.mesh_v, state=self.state,
                     opt_state=self.opt_state, sh_degree=self.sh_degree,
-                    key=self.key)
+                    key=self.key, global_it=jnp.int32(self.global_it))
 
     def restore(self, tree) -> None:
         self.params = tree["params"]
@@ -444,4 +450,5 @@ class MeshTrainer:
         self.opt_state = tree["opt_state"]
         self.sh_degree = int(tree["sh_degree"])
         self.key = tree["key"]
+        self.global_it = int(tree.get("global_it", 0))
         self._step_fns.clear()
