@@ -125,3 +125,36 @@ def test_cli_pipeline(tmp_path):
                    "--out", out_dir, "--max_per_tile", "256",
                    "--max_tiles_per_gaussian", "16"])
     assert len(os.listdir(out_dir)) == 1
+
+
+def test_normalize_roundtrip_and_inspect(tmp_path, capsys):
+    """normalize_info -> convert_mesh roundtrip is exact; inspect_ply
+    reads and diffs trained artifacts."""
+    import json
+    from gaussianmesh_tpu.cli import convert_mesh, inspect_ply, normalize_info
+    from gaussianmesh_tpu.io import mesh as mesh_io
+    from tests.meshes import icosphere
+    from tests.test_edit import _make_object
+
+    root = str(tmp_path / "scene")
+    _make_dataset(root, n_cams=4)
+    tjson = str(tmp_path / "t.json")
+    normalize_info.main(["-s", root, "--out", tjson])
+    t = json.load(open(tjson))
+    M = np.asarray(t["transform_matrix"])
+    s = t["scaling_factor"]
+
+    v, f = icosphere(1)
+    vn = (v + M[:3, 3]) * s
+    recon = str(tmp_path / "recon.obj")
+    back = str(tmp_path / "back.obj")
+    mesh_io.write_triangle_mesh(recon, vn.astype(np.float32), f)
+    convert_mesh.main(["--input", recon, "--output", back,
+                       "--transform", tjson])
+    vb, _ = mesh_io.read_triangle_mesh(back)
+    assert np.abs(vb - v).max() < 1e-5
+
+    ply_path, _, _, _ = _make_object(tmp_path)
+    inspect_ply.main([ply_path, ply_path])
+    out = capsys.readouterr().out
+    assert "mesh-bound" in out and "MATCH" in out
