@@ -322,3 +322,10 @@ def test_mesh_trainer_gauss_sharded(setup):
     losses = [m["loss"] for m in log]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 1.2
+
+
+def test_multihost_helpers_single_process():
+    from gaussianmesh_tpu.parallel import multihost
+    multihost.initialize()          # no env -> no-op
+    s, e = multihost.process_camera_slice(10)
+    assert (s, e) == (0, 10)
