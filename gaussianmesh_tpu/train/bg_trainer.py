@@ -64,6 +64,7 @@ class BgTrainer:
             optim_mod.gaussian_lr_tree_fn(opt, spatial_lr_scale))
         self.opt_state = self.tx.init(self.params)
         self.sh_degree = 0
+        self.global_it = 0   # persistent across train() segments + resume
         self._step_fns = {}
         self.metrics_log: list[dict] = []
         self.logger = None
@@ -173,7 +174,11 @@ class BgTrainer:
         densify_interval = 500  # train_bg_gaussian.py:144 (forced)
         t0 = time.time()
 
-        for it in range(1, iterations + 1):
+        for step_i in range(iterations):
+            # schedules key off the GLOBAL iteration (cli/train_bg calls
+            # train() in segments between save/test boundaries)
+            self.global_it += 1
+            it = self.global_it
             if it % 1000 == 0 and self.sh_degree < self.max_sh_degree:
                 self.sh_degree += 1
             self.key, k_cam, k_bg = jax.random.split(self.key, 3)
@@ -197,7 +202,7 @@ class BgTrainer:
             if it % opt.opacity_reset_interval == 0:
                 self.params = densify_mod.reset_opacity_bg(self.params)
 
-            if it % log_every == 0 or it == iterations:
+            if it % log_every == 0 or step_i == iterations - 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 m.update(iter=it, n_alive=int(self.state.alive.sum()),
                          elapsed=time.time() - t0)
@@ -230,7 +235,7 @@ class BgTrainer:
     def capture(self):
         return dict(params=self.params, state=self.state,
                     opt_state=self.opt_state, sh_degree=self.sh_degree,
-                    key=self.key)
+                    key=self.key, global_it=jnp.int32(self.global_it))
 
     def restore(self, tree) -> None:
         self.params = tree["params"]
@@ -238,4 +243,5 @@ class BgTrainer:
         self.opt_state = tree["opt_state"]
         self.sh_degree = int(tree["sh_degree"])
         self.key = tree["key"]
+        self.global_it = int(tree.get("global_it", 0))
         self._step_fns.clear()
