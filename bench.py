@@ -49,7 +49,9 @@ def main():
     def fwd_bwd(means, cov6, op, rgb):
         def f(means, cov6, op, rgb):
             out = rasterize(means, cov6, op, rgb, bg, cam, cfg)
-            return jnp.sum(out.color * out.color), out.num_rendered
+            aux = (out.num_rendered, out.tile_overflow
+                   + out.rect_overflow + out.pair_overflow)
+            return jnp.sum(out.color * out.color), aux
         (loss, nrend), grads = jax.value_and_grad(
             f, argnums=(0, 1, 2, 3), has_aux=True)(means, cov6, op, rgb)
         return loss, nrend, grads
@@ -75,7 +77,8 @@ def main():
     args = (sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"])
     out = loop(*args)                      # compile + warmup
     jax.block_until_ready(out)
-    n_rendered = int(out[1][0])
+    n_rendered = int(out[1][0][0])
+    overflow = int(out[1][1][0])
 
     t0 = time.perf_counter()
     out = loop(*args)
@@ -89,7 +92,8 @@ def main():
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
         "detail": {"step_ms": round(dt * 1e3, 2), "n_gauss": N_GAUSS,
-                   "num_rendered": n_rendered, "backend": jax.default_backend(),
+                   "num_rendered": n_rendered, "overflow": overflow,
+                   "backend": jax.default_backend(),
                    "pallas": use_pallas},
     }))
 

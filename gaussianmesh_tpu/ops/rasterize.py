@@ -75,6 +75,7 @@ class RasterizeOut(NamedTuple):
     num_rendered: jax.Array   # () int32
     tile_overflow: jax.Array  # () int32
     rect_overflow: jax.Array  # () int32
+    pair_overflow: jax.Array  # () int32
 
 
 def _assemble(tile_img: jax.Array, cfg: RasterizerConfig) -> jax.Array:
@@ -167,4 +168,5 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
         num_rendered=tiles.num_rendered,
         tile_overflow=tiles.tile_overflow,
         rect_overflow=tiles.rect_overflow,
+        pair_overflow=tiles.pair_overflow,
     )
