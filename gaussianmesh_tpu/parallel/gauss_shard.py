@@ -33,7 +33,6 @@ the conventions of ops/binning.py.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -257,7 +256,7 @@ def make_gauss_sharded_train_step(mesh, tx, cfg: RasterizerConfig,
         check_vma=False,
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    @jax.jit
     def step(params, opt_state, state, binding, cam_arrays, gt, bg):
         m2d_zero = jnp.zeros((binding.alive.shape[0], 2))
 

@@ -224,7 +224,7 @@ def make_sharded_train_step(mesh: Mesh, tx, cfg: RasterizerConfig,
         check_vma=False,
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    @jax.jit
     def step(params, opt_state, state, binding, cam_batch, gt_batch, bg):
         m2d_zero = jnp.zeros((binding.alive.shape[0], 2))
         loss, g_params, g_off, radii, overflow = body_sharded(

@@ -239,7 +239,7 @@ class MeshTrainer:
         has_mask = ds.masks is not None
         h_pad = gy_pad * 16 - ds.height  # band color is W-cropped already
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        @jax.jit
         def step(params, opt_state, state, binding, cam_idx, bg):
             cam_batch = (ds.view[cam_idx], ds.proj[cam_idx],
                          ds.campos[cam_idx], ds.tanfovx[cam_idx],
@@ -276,7 +276,7 @@ class MeshTrainer:
         has_mask = ds.masks is not None
         h_pad = gy_pad * 16 - ds.height
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        @jax.jit
         def step(params, opt_state, state, binding, cam_idx, bg):
             cam = (ds.view[cam_idx], ds.proj[cam_idx], ds.campos[cam_idx],
                    ds.tanfovx[cam_idx], ds.tanfovy[cam_idx])
