@@ -29,6 +29,10 @@ def main(argv=None) -> None:
     parser.add_argument("--out", type=str, default="edit_output")
     parser.add_argument("--camera_index", type=int, default=0)
     parser.add_argument("--all_cameras", action="store_true")
+    parser.add_argument("--orbit", type=int, default=0,
+                        help="render an N-frame ellipse orbit around the "
+                             "object instead of dataset cameras "
+                             "(create_circle_cam, edittool/__init__.py:338)")
     args = parser.parse_args(argv)
     setup_cache()
 
@@ -43,7 +47,21 @@ def main(argv=None) -> None:
     editor.add_object(args.gaussian_ply, args.origin_mesh, name="object")
 
     cams = SceneEditor.cameras_from_json(model.model_path)
-    sel = cams if args.all_cameras else [cams[args.camera_index]]
+    if args.orbit > 0:
+        import numpy as np
+        from gaussianmesh_tpu.edit import pose_paths
+        ref = cams[args.camera_index]
+        # orbit at the reference camera's distance/height around the object
+        obj_center = np.asarray(
+            editor.objects["object"].pos0.mean(axis=0))
+        cc = np.asarray(ref.camera_center)
+        r = float(np.linalg.norm((cc - obj_center)[[0, 2]]))
+        sel = pose_paths.ellipse_path(
+            args.orbit, obj_center, (r, r),
+            float(cc[1] - obj_center[1]), ref.fovx, ref.fovy,
+            ref.width, ref.height, target=obj_center)
+    else:
+        sel = cams if args.all_cameras else [cams[args.camera_index]]
 
     def cfg_for(cam):
         return RasterizerConfig(

@@ -126,6 +126,15 @@ def test_cli_pipeline(tmp_path):
                    "--max_tiles_per_gaussian", "16"])
     assert len(os.listdir(out_dir)) == 1
 
+    # orbit playback (create_circle_cam analog)
+    orbit_dir = str(tmp_path / "edit_orbit")
+    cli_edit.main(["-m", model, "--gaussian_ply", ply,
+                   "--origin_mesh", mesh_path, "--deformed_mesh", deformed,
+                   "--out", orbit_dir, "--orbit", "3",
+                   "--max_per_tile", "256",
+                   "--max_tiles_per_gaussian", "16"])
+    assert len(os.listdir(orbit_dir)) == 3
+
 
 def test_normalize_roundtrip_and_inspect(tmp_path, capsys):
     """normalize_info -> convert_mesh roundtrip is exact; inspect_ply
