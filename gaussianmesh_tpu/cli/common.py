@@ -23,6 +23,12 @@ def setup_cache() -> None:
     cache = os.environ.get("GM_TPU_COMPILE_CACHE", "/tmp/gm_tpu_jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # GM_PLATFORM=cpu forces the CLI onto a specific backend even where a
+    # site hook pre-registers an accelerator plugin (env JAX_PLATFORMS can
+    # be too late there)
+    plat = os.environ.get("GM_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
 
 def save_image(path: str, color) -> None:

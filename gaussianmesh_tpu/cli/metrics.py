@@ -14,6 +14,8 @@ def main(argv=None) -> None:
                         required=True)
     parser.add_argument("--lpips_weights", type=str, default=None)
     args = parser.parse_args(argv)
+    from gaussianmesh_tpu.cli.common import setup_cache
+    setup_cache()
 
     from gaussianmesh_tpu.eval.metrics import evaluate_model_paths
     evaluate_model_paths(args.model_paths, args.lpips_weights)

@@ -86,12 +86,12 @@ def densify_and_split(params: MeshGaussianParams, binding: MeshBinding,
     pv2 = binding.vertex2[parent]
     pv3 = binding.vertex3[parent]
     corners = jnp.stack([pv1, pv2, pv3], axis=1)       # (K, 3, 3)
-    w = _CHILD_W[cid]                                  # (K, 3vert, 3corner)
+    w = jnp.asarray(_CHILD_W)[cid]                     # (K, 3vert, 3corner)
     child = jnp.einsum("kvc,kcd->kvd", w, corners)     # (K, 3vert, 3)
 
     # new vertices: 3 per split parent, prefix-packed after mesh_v.count
     vbase = mesh_v.count + 3 * pj
-    code = _CHILD_IDX_CODE[cid]                        # (K, 3)
+    code = jnp.asarray(_CHILD_IDX_CODE)[cid]          # (K, 3)
     parent_vidx = binding.vertex_index[parent]
     child_vidx = jnp.where(code < 3,
                            jnp.take_along_axis(parent_vidx,

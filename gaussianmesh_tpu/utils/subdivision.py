@@ -23,11 +23,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # child -> (corner selectors). Encodes each child vertex as a fixed linear
 # combination of the parent corners (a, b, c): weights rows sum to 1.
 # Order matches the reference tables exactly.
-_CHILD_W = jnp.array(
+# numpy, not jnp: module-level jnp.array would initialize the JAX
+# backend at import time, before CLIs can select a platform
+_CHILD_W = np.array(
     [
         # v1            v2              v3
         [[1.0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5]],   # child 0
@@ -36,13 +39,13 @@ _CHILD_W = jnp.array(
         [[0.5, 0.5, 0], [0, 0.5, 0.5], [0.5, 0, 0.5]], # child 3
         [[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]],       # child 4 (parent copy)
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 # new-vertex slot per midpoint: 0=m_ab, 1=m_ac, 2=m_bc (reference layout).
 # child -> (v1 idx code, v2 idx code, v3 idx code) where codes 0,1,2 are the
 # original corners a,b,c and 3,4,5 are m_ab, m_ac, m_bc.
-_CHILD_IDX_CODE = jnp.array(
+_CHILD_IDX_CODE = np.array(
     [
         [0, 3, 4],
         [3, 1, 5],
@@ -50,7 +53,7 @@ _CHILD_IDX_CODE = jnp.array(
         [3, 5, 4],
         [0, 1, 2],
     ],
-    dtype=jnp.int32,
+    dtype=np.int32,
 )
 
 
