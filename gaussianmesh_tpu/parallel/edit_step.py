@@ -59,17 +59,26 @@ def make_sharded_playback_fn(mesh: Mesh, editor, obj_name: str,
     bg_color = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
 
     obj = editor.objects[obj_name]
-    static_objects = [o for name, o in editor.objects.items()
-                      if name != obj_name]
+    # static objects + background render at their CURRENT state with a
+    # FIXED camera: evaluate their SH once here and close over the result
+    # instead of re-deriving it on every device every frame
+    static_arrays = None
+    for name, other in editor.objects.items():
+        if name == obj_name:
+            continue
+        a = other.arrays(cam_arrays)
+        static_arrays = a if static_arrays is None else concat_arrays(
+            static_arrays, a)
+    bg_a = editor._bg_arrays(cam_arrays)
+    if bg_a is not None:
+        static_arrays = bg_a if static_arrays is None else concat_arrays(
+            static_arrays, bg_a)
 
     def body(v_def_b):
         v_def = v_def_b[0]                                   # (V, 3)
         arrays = deformed_object_arrays(obj, v_def, cam_arrays)
-        for other in static_objects:
-            arrays = concat_arrays(arrays, other.arrays(cam_arrays))
-        bg_a = editor._bg_arrays(cam_arrays)
-        if bg_a is not None:
-            arrays = concat_arrays(arrays, bg_a)
+        if static_arrays is not None:
+            arrays = concat_arrays(arrays, static_arrays)
         y0 = jax.lax.axis_index(TILE_AXIS) * gy_local
         out = rasterize_band(arrays, cam_arrays, cfg, gy_local, y0,
                              bg_color)

@@ -53,6 +53,7 @@ class GaussShardOut(NamedTuple):
     send_overflow: jax.Array  # () int32 pairs dropped by send_capacity
     rect_overflow: jax.Array  # () int32
     tile_overflow: jax.Array  # () int32
+    pair_overflow: jax.Array  # () int32 aligned-layout capacity drops
     num_rendered: jax.Array   # () int32 pairs blended in this band
 
 
@@ -71,6 +72,9 @@ def rasterize_band_gauss_sharded(
     assert gy == gy_local * d_ax, (gy, gy_local, d_ax)
     nt_local = gx * gy_local
     n_local = arrays.xyz.shape[0]
+    # global ids are transported through f32 for the depth tie-break; the
+    # 2^24 integer-exactness bound mirrors binning.expand_pairs
+    assert d_ax * n_local < (1 << 24), (d_ax, n_local)
     chunk = cfg.blend_chunk
     c_cap = send_capacity
 
@@ -178,6 +182,7 @@ def rasterize_band_gauss_sharded(
         send_overflow=send_overflow,
         rect_overflow=exp.rect_overflow,
         tile_overflow=tiles.tile_overflow,
+        pair_overflow=tiles.pair_overflow,
         num_rendered=tiles.num_rendered)
 
 
@@ -243,8 +248,8 @@ def make_gauss_sharded_train_step(mesh, tx, cfg: RasterizerConfig,
                  + lambda_dssim * (1.0 / d_ax - ssim_sum / n_pix) + mr)
         loss = jax.lax.psum(local, axis_name)
         overflow = jax.lax.psum(
-            out.tile_overflow + out.send_overflow + out.rect_overflow,
-            axis_name)
+            out.tile_overflow + out.send_overflow + out.rect_overflow
+            + out.pair_overflow, axis_name)
         return loss, (out.radii, overflow)
 
     cam_spec = tuple(P() for _ in CameraArrays._fields)

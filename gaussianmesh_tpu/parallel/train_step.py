@@ -58,6 +58,8 @@ class BandOut(NamedTuple):
     final_t: jax.Array     # (H_local, W_pad)
     radii: jax.Array       # (N,) — full-image visibility (replicated)
     tile_overflow: jax.Array
+    rect_overflow: jax.Array
+    pair_overflow: jax.Array
     num_rendered: jax.Array
 
 
@@ -124,6 +126,8 @@ def rasterize_band(arrays: render_mod.GaussianArrays, cam: CameraArrays,
     color = color + final_t[None] * bg[:, None, None]
     return BandOut(color=color, final_t=final_t, radii=full_radii,
                    tile_overflow=tiles.tile_overflow,
+                   rect_overflow=tiles.rect_overflow,
+                   pair_overflow=tiles.pair_overflow,
                    num_rendered=tiles.num_rendered)
 
 
@@ -210,30 +214,45 @@ def make_sharded_train_step(mesh: Mesh, tx, cfg: RasterizerConfig,
             loss_fn, argnums=(0, 1), has_aux=True)(params, m2d_zero)
         loss = jax.lax.psum(local_loss, (DATA_AXIS, TILE_AXIS))
         g_params = jax.lax.psum(grads[0], (DATA_AXIS, TILE_AXIS))
-        g_off = jax.lax.psum(grads[1], (DATA_AXIS, TILE_AXIS))
+        # densification stats accumulate PER VIEW (the reference adds one
+        # ||dL_v/d mean2d|| and one visibility count per iteration,
+        # train_mesh_gaussian.py:123-124): psum the pixel grads over the
+        # TILE axis only (bands partition one camera's pixels — exact),
+        # norm per view, undo the 1/n_data loss normalization, THEN
+        # reduce across cameras. A norm of the cross-camera SUM would let
+        # opposing views cancel and starve densification.
+        g_off_view = jax.lax.psum(grads[1], TILE_AXIS) * n_data
+        scaled = g_off_view * jnp.asarray([0.5 * width, 0.5 * height_valid])
+        vis_v = out.radii > 0
+        norm_v = jnp.where(vis_v, jnp.linalg.norm(scaled, axis=-1), 0.0)
+        gnorm_sum = jax.lax.psum(norm_v, DATA_AXIS)
+        vis_count = jax.lax.psum(vis_v.astype(jnp.float32), DATA_AXIS)
         radii = jax.lax.pmax(out.radii, (DATA_AXIS, TILE_AXIS))
-        overflow = jax.lax.psum(out.tile_overflow, (DATA_AXIS, TILE_AXIS))
-        return loss, g_params, g_off, radii, overflow
+        overflow = jax.lax.psum(
+            out.tile_overflow + out.rect_overflow + out.pair_overflow,
+            (DATA_AXIS, TILE_AXIS))
+        return loss, g_params, gnorm_sum, vis_count, radii, overflow
 
     cam_spec = tuple(P(DATA_AXIS) for _ in CameraArrays._fields)
     body_sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), cam_spec, P(DATA_AXIS, None, TILE_AXIS, None),
                   P(), P()),
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
 
     @jax.jit
     def step(params, opt_state, state, binding, cam_batch, gt_batch, bg):
         m2d_zero = jnp.zeros((binding.alive.shape[0], 2))
-        loss, g_params, g_off, radii, overflow = body_sharded(
+        loss, g_params, gnorm_sum, vis_count, radii, overflow = body_sharded(
             params, m2d_zero, tuple(cam_batch), gt_batch, bg, binding)
         updates, opt_state = tx.update(g_params, opt_state, params)
         params = optax.apply_updates(params, updates)
         visibility = radii > 0
-        state = densify_mod.add_densification_stats(
-            state, g_off, visibility, width, height_valid)
+        state = state.replace(
+            grad_accum=state.grad_accum + gnorm_sum,
+            denom=state.denom + vis_count)
         state = state.replace(max_radii2d=jnp.where(
             visibility, jnp.maximum(state.max_radii2d,
                                     radii.astype(jnp.float32)),

@@ -267,7 +267,13 @@ class MeshTrainer:
         assert capacity % d_ax == 0, (capacity, d_ax)
         gy_pad = -(-((self.ds.height + 15) // 16) // d_ax) * d_ax
         cfg = self._raster_cfg(height=gy_pad * 16)
-        send_cap = cfg.expand_capacity(capacity // d_ax)
+        # per-DESTINATION capacity: local pairs total ~expand_capacity(N/D)
+        # and spread over D bands, so size each bucket at the average with
+        # 4x skew headroom (send_overflow reports drops; O(N/D) buffers —
+        # sizing at the full local capacity would make the exchange and
+        # receiver sort scale with global N, defeating the sharded regime)
+        send_cap = max(-(-cfg.expand_capacity(capacity // d_ax) // d_ax) * 4,
+                       1024)
         inner = gauss_shard.make_gauss_sharded_train_step(
             self.gauss_mesh, self.tx, cfg, sh_degree,
             self.opt.lambda_dssim, self.opt.alpha_mrloss,

@@ -87,13 +87,27 @@ def test_sharded_step_matches_single_chip(setup):
         np.testing.assert_allclose(a / scale, r / scale, atol=5e-4,
                                    err_msg=name)
 
-    # densification stats: psum'd mean2d grads match single-chip
-    g_off_ref = np.asarray(grads_ref[1])
-    scaled = g_off_ref * np.array([0.5 * W, 0.5 * H])
-    want = np.linalg.norm(scaled, axis=-1)
+    # densification stats accumulate PER VIEW (norms before the cross-view
+    # sum, one visibility count per view — reference
+    # train_mesh_gaussian.py:123-124 semantics)
+    want = np.zeros(b.alive.shape[0])
+    denom_want = np.zeros(b.alive.shape[0])
+    for cam, gt in zip(cams, gts):
+        def loss_v(off, cam=cam, gt=gt):
+            arrays = render_mod.mesh_model_arrays(p, b, cam, 0)
+            out = render_mod.render(arrays, cam, cfg, bg, mean2d_offset=off)
+            return ((1 - lam) * loss_mod.l1_loss(out.color, gt)
+                    + lam * (1 - loss_mod.ssim(out.color, gt)))
+        g_v = np.asarray(jax.grad(loss_v)(off0))
+        arrays = render_mod.mesh_model_arrays(p, b, cam, 0)
+        out_v = render_mod.render(arrays, cam, cfg, bg)
+        vis_v = np.asarray(out_v.radii) > 0
+        n_v = np.linalg.norm(g_v * np.array([0.5 * W, 0.5 * H]), axis=-1)
+        want += np.where(vis_v, n_v, 0.0)
+        denom_want += vis_v
     got = np.asarray(st2.grad_accum)
-    vis = np.asarray(st2.denom) > 0
-    np.testing.assert_allclose(got[vis], want[vis], atol=1e-5)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st2.denom), denom_want, atol=0)
 
 
 def test_band_clipping_consistency(setup):
