@@ -225,6 +225,10 @@ class SceneEditor:
         bg_a = self._bg_arrays(cam_arrays)
         if bg_a is not None:
             arrays = bg_a if arrays is None else concat_arrays(arrays, bg_a)
+        if arrays is None:
+            raise ValueError(
+                "SceneEditor.render: no objects and no background model — "
+                "add_object() or construct with bg_ply_path first")
         bg_color = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
         return rasterize(arrays.xyz, arrays.cov6, arrays.opacity, arrays.rgb,
                          bg_color, cam_arrays, cfg, active_mask=arrays.active)

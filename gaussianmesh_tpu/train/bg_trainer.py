@@ -136,22 +136,25 @@ class BgTrainer:
         return step
 
     def densify(self):
-        grads = jnp.nan_to_num(
-            self.state.grad_accum / jnp.maximum(self.state.denom, 1.0))
         self.key, k = jax.random.split(self.key)
-        mu, nu = self.opt_state.adam.mu, self.opt_state.adam.nu
         max_new = _round_up(max(256, int(self.state.alive.shape[0]) // 16), 256)
-        res = densify_mod.densify_and_prune_bg(
-            self.params, self.state, mu, nu, grads, k,
-            self.opt.densify_grad_threshold, 0.005, self.extent,
-            self.opt.percent_dense, -1.0, max_new)
-        if int(res.dropped) > 0:
-            self._grow(int(self.state.alive.shape[0] * 3 // 2))
+        for _attempt in range(4):
+            # recompute from CURRENT buffers — after a grow, stale grads
+            # and moments would shape-clash against the new capacity
+            grads = jnp.nan_to_num(
+                self.state.grad_accum / jnp.maximum(self.state.denom, 1.0))
             mu, nu = self.opt_state.adam.mu, self.opt_state.adam.nu
             res = densify_mod.densify_and_prune_bg(
                 self.params, self.state, mu, nu, grads, k,
                 self.opt.densify_grad_threshold, 0.005, self.extent,
                 self.opt.percent_dense, -1.0, max_new)
+            if int(res.dropped) == 0:
+                break
+            self._grow(int(self.state.alive.shape[0] * 3 // 2))
+        else:
+            raise RuntimeError(
+                f"bg densify could not fit {int(res.dropped)} new "
+                f"gaussians after 4 capacity grows")
         self.params, self.state = res.params, res.state
         adam = self.opt_state.adam._replace(mu=res.mu, nu=res.nu)
         self.opt_state = self.opt_state._replace(adam=adam)
@@ -201,6 +204,12 @@ class BgTrainer:
                 self.densify()
             if it % opt.opacity_reset_interval == 0:
                 self.params = densify_mod.reset_opacity_bg(self.params)
+                adam = self.opt_state.adam._replace(
+                    mu=self.opt_state.adam.mu.replace(
+                        opacity=jnp.zeros_like(self.opt_state.adam.mu.opacity)),
+                    nu=self.opt_state.adam.nu.replace(
+                        opacity=jnp.zeros_like(self.opt_state.adam.nu.opacity)))
+                self.opt_state = self.opt_state._replace(adam=adam)
 
             if it % log_every == 0 or step_i == iterations - 1:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -63,14 +63,22 @@ def densify_and_split(params: MeshGaussianParams, binding: MeshBinding,
     sel_ok = top_scores > -jnp.inf                     # prefix mask
 
     # --- find free destination slots -------------------------------------
-    is_sel = jnp.zeros(c, bool).at[sel_idx].set(sel_ok, mode="drop")
-    free = (~binding.alive) | is_sel
+    # ONLY currently-dead slots: a selected-but-dropped parent must keep
+    # its row intact, so parents' own slots are never reused within the
+    # same pass (they become free on the NEXT pass, after the kill). Reuse
+    # here could scatter a child over a still-alive dropped parent.
+    free = ~binding.alive
     free_idx = jnp.nonzero(free, size=max_split * nch, fill_value=c)[0]
 
-    # parent j is split only if all nch destinations exist (free_idx sorted
-    # ascending, so checking the last child's slot suffices)
+    # parent j is split only if all nch destination slots exist (free_idx
+    # sorted ascending, so checking the last child's slot suffices) AND
+    # its 3 midpoint vertices fit the vertex buffer — a shortage of either
+    # shows up in `dropped`, which the trainer answers by growing BOTH
+    # buffers and retrying
     last_slot = free_idx[jnp.arange(max_split) * nch + (nch - 1)]
-    parent_ok = sel_ok & (last_slot < c)
+    vcap = mesh_v.v.shape[0]
+    vertex_ok = (mesh_v.count + 3 * (jnp.arange(max_split) + 1)) <= vcap
+    parent_ok = sel_ok & (last_slot < c) & vertex_ok
     n_split = jnp.sum(parent_ok)
     dropped = jnp.sum(sel_ok) - n_split
 
@@ -155,9 +163,13 @@ def split_all_for_init(params, binding, mesh_v, mu, nu, state,
                              grads, 0.5, 4, max_split)
 
 
-def reset_opacity(params: MeshGaussianParams) -> MeshGaussianParams:
+def reset_opacity(params):
     """opacity <- min(opacity, 0.01) in activated space, every 3000 iters
-    (mesh_based_gaussian_model.py:334-339)."""
+    (mesh_based_gaussian_model.py:334-339; gaussian_model.py:240-245).
+    Works for both param types (only touches .opacity). The reference
+    also zeroes the Adam moments of opacity on reset
+    (replace_tensor_to_optimizer, gaussian_model.py:290-301) — callers do
+    that on their optimizer state."""
     op = jax.nn.sigmoid(params.opacity)
     new = jnp.log(jnp.minimum(op, 0.01) / (1.0 - jnp.minimum(op, 0.01)))
     return params.replace(opacity=new)
@@ -280,10 +292,11 @@ def densify_and_prune_bg(params: GaussianParams, state: GaussianState,
     # prune: low opacity, oversized (screen/world) when enabled
     op = jax.nn.sigmoid(new_params.opacity[:, 0])
     prune = alive & (op < min_opacity)
-    if True:  # size prune applies only when a positive threshold is given
-        size_prune = (state.max_radii2d > max_screen) | (
-            jnp.max(jnp.exp(new_params.scaling), axis=1) > 0.1 * extent)
-        prune = jnp.where(max_screen > 0, prune | (alive & size_prune), prune)
+    # size prune applies only when a positive threshold is given (the
+    # jnp.where gates it; max_screen is a traced value)
+    size_prune = (state.max_radii2d > max_screen) | (
+        jnp.max(jnp.exp(new_params.scaling), axis=1) > 0.1 * extent)
+    prune = jnp.where(max_screen > 0, prune | (alive & size_prune), prune)
     n_pruned = jnp.sum(prune)
     alive = alive & ~prune
 
@@ -295,10 +308,7 @@ def densify_and_prune_bg(params: GaussianParams, state: GaussianState,
                            n_split=n_split, n_pruned=n_pruned, dropped=dropped)
 
 
-def reset_opacity_bg(params: GaussianParams) -> GaussianParams:
-    op = jax.nn.sigmoid(params.opacity)
-    new = jnp.log(jnp.minimum(op, 0.01) / (1.0 - jnp.minimum(op, 0.01)))
-    return params.replace(opacity=new)
+reset_opacity_bg = reset_opacity  # same law for both models
 
 
 @functools.partial(jax.jit, static_argnames=())

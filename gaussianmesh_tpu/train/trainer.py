@@ -193,22 +193,32 @@ class MeshTrainer:
         self._set_opt_moments(pad_axis0(mu, new_cap), pad_axis0(nu, new_cap))
         b = pad_axis0(self.binding, new_cap)
         self.binding = b.replace(alive=b.alive[:new_cap])
+        # vertex buffer grows alongside (each split adds 3 midpoints;
+        # densify gates parents on vertex room and reports the shortage
+        # through `dropped`, so this is the recovery for both buffers)
+        vcap = self.mesh_v.v.shape[0]
+        if vcap < 2 * new_cap:
+            self.mesh_v = self.mesh_v.replace(
+                v=jnp.pad(self.mesh_v.v, ((0, 2 * new_cap - vcap), (0, 0))))
         self._step_fns.clear()
 
     def densify(self):
-        mu, nu = self._opt_moments()
-        grads = densify_mod.grads_avg(self.state)
         max_split = _round_up(max(256, int(self.binding.alive.shape[0]) // 16), 256)
-        res = densify_mod.densify_and_split(
-            self.params, self.binding, self.mesh_v, mu, nu, self.state,
-            grads, self.opt.densify_grad_threshold, 5, max_split)
-        if int(res.dropped) > 0:
-            self._grow(int(self.binding.alive.shape[0] * 3 // 2))
+        for _attempt in range(4):
+            # (re)derive everything from CURRENT buffers: after a grow the
+            # capacities changed, so stale grads/moments would shape-clash
             mu, nu = self._opt_moments()
+            grads = densify_mod.grads_avg(self.state)
             res = densify_mod.densify_and_split(
                 self.params, self.binding, self.mesh_v, mu, nu, self.state,
                 grads, self.opt.densify_grad_threshold, 5, max_split)
-        self._apply_split(res)
+            if int(res.dropped) == 0:
+                self._apply_split(res)
+                return
+            self._grow(int(self.binding.alive.shape[0] * 3 // 2))
+        raise RuntimeError(
+            f"densify could not fit {int(res.dropped)} splits after "
+            f"4 capacity grows (cap {self.binding.alive.shape[0]})")
 
     # ---------------------------------------------------------------- step
     def _raster_cfg(self, height: int | None = None) -> RasterizerConfig:
@@ -390,8 +400,13 @@ class MeshTrainer:
                     and it % opt.densification_interval == 0:
                 self.densify()
             if it % opt.opacity_reset_interval == 0:
-                self.params = self.params.replace(
-                    **{"opacity": densify_mod.reset_opacity(self.params).opacity})
+                self.params = densify_mod.reset_opacity(self.params)
+                # the reference zeroes opacity's Adam moments on reset
+                # (replace_tensor_to_optimizer, gaussian_model.py:290-301)
+                mu, nu = self._opt_moments()
+                self._set_opt_moments(
+                    mu.replace(opacity=jnp.zeros_like(mu.opacity)),
+                    nu.replace(opacity=jnp.zeros_like(nu.opacity)))
 
             if it % log_every == 0 or step_i == iterations - 1:
                 m = {k: float(v) for k, v in metrics.items()}

