@@ -40,7 +40,6 @@ is counted and reported rather than silently dropped.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -70,7 +69,10 @@ class TileLists(NamedTuple):
                                # tile per block; num_tiles = sentinel
     num_rendered: jax.Array    # () int32 — live pairs after the ellipse cull
     tile_overflow: jax.Array   # () int32 — pairs dropped by max_per_tile
-    rect_overflow: jax.Array   # () int32 — pairs dropped by expand_capacity
+    rect_overflow: jax.Array   # () int32 — rows dropped by row_capacity +
+                               # pairs dropped by expand_capacity (either
+                               # upstream shortage; both answer to growing
+                               # the per-gaussian capacity factors)
     pair_overflow: jax.Array   # () int32 — pairs dropped by pair_capacity
 
 
@@ -195,7 +197,6 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
                      pair_capacity: int, chunk: int = 128,
                      opacity: jax.Array | None = None,
                      row_capacity: int | None = None) -> TileLists:
-    n = prep.depth.shape[0]
     num_tiles = grid_x * grid_y
     exp = expand_pairs(prep, grid_x, grid_y, expand_capacity,
                        opacity=opacity, row_capacity=row_capacity)
@@ -274,7 +275,13 @@ def expand_pairs(prep: Preprocessed, grid_x: int, grid_y: int,
     hi = jnp.where(pd, jnp.floor((mx + dx_max) / TILE) + 1.0, row_tab[:, 9])
     tx0 = jnp.clip(lo, row_tab[:, 8], row_tab[:, 9]).astype(jnp.int32)
     tx1 = jnp.clip(hi, row_tab[:, 8], row_tab[:, 9]).astype(jnp.int32)
-    widths = jnp.where(i1 < total_rows, jnp.maximum(tx1 - tx0, 0), 0)
+    # a PD row whose pixel band misses the gated ellipse entirely comes
+    # back with dx_min > dx_max: emit nothing (the +-0.5 sentinel would
+    # otherwise round to a spurious width-1 pair that the blend alpha-
+    # gates to zero but that still costs sort/blend capacity)
+    row_live = jnp.where(pd, dx_min <= dx_max, True)
+    widths = jnp.where((i1 < total_rows) & row_live,
+                       jnp.maximum(tx1 - tx0, 0), 0)
 
     # 4. stage 2: rows -> (tile, gaussian) pairs, same rank-recovery
     # pattern as stage 1 (scatter-max at range starts + cummax) plus ONE

@@ -43,6 +43,10 @@ class RasterizerConfig:
     pair_capacity_per_gaussian: int = 10
     row_capacity_per_gaussian: int = 4
     use_pallas: bool = True
+    # n_contrib costs an extra per-block rank pass in the Pallas kernel;
+    # off by default (training/playback never read it) — the jnp path
+    # always computes it
+    with_contrib: bool = False
 
     def expand_capacity(self, n: int) -> int:
         return n * self.pair_capacity_per_gaussian
@@ -68,7 +72,8 @@ class RasterizerConfig:
 class RasterizeOut(NamedTuple):
     color: jax.Array          # (3, H, W)
     final_t: jax.Array        # (H, W)
-    n_contrib: jax.Array      # (H, W)
+    n_contrib: jax.Array      # (H, W); zeros on the Pallas path unless
+                              # cfg.with_contrib
     radii: jax.Array          # (N,) int32
     mean2d: jax.Array         # (N, 2) — differentiable; densification stats hook
     visibility: jax.Array     # (N,) bool (radii > 0)
@@ -147,7 +152,8 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
         color_t, final_t_t, ncon_t = tile_blend.blend_sorted_pallas(
             feat_sorted.T, tiles.block_tile, tiles.aligned_starts,
             tiles.starts, tiles.counts, tiles.sorted_shift,
-            gx, cfg.num_tiles, p_cap, cfg.blend_chunk)
+            gx, cfg.num_tiles, p_cap, cfg.blend_chunk,
+            with_contrib=cfg.with_contrib)
     else:
         lists = binning.tile_id_lists(tiles, cfg.num_tiles, cfg.max_per_tile, n)
         tile_feats = jnp.swapaxes(feat[lists], 1, 2)     # (T, F, K)
