@@ -56,7 +56,7 @@ class Camera:
         return CameraArrays(
             viewmatrix=jnp.asarray(V),
             projmatrix=jnp.asarray(self.projection @ V),
-            campos=jnp.asarray(self.camera_center),
+            campos=jnp.asarray(graphics.camera_center_from_w2v(V)),
             tanfovx=jnp.float32(math.tan(self.fovx / 2)),
             tanfovy=jnp.float32(math.tan(self.fovy / 2)),
         )
@@ -85,11 +85,8 @@ def pick_resolution(orig_w: int, orig_h: int, resolution: int,
 
 def camera_to_json(cam_id: int, cam: Camera) -> dict:
     """cameras.json entry (utils/camera_utils.py:64-83 layout)."""
-    rt = np.zeros((4, 4))
-    rt[:3, :3] = cam.R.transpose()
-    rt[:3, 3] = cam.T
-    rt[3, 3] = 1.0
-    w2c = np.linalg.inv(rt)
+    w2c = np.linalg.inv(
+        graphics.world_to_view(cam.R, cam.T).astype(np.float64))
     pos = w2c[:3, 3]
     rot = w2c[:3, :3]
     return {

@@ -125,8 +125,12 @@ def random_weights(seed: int = 0) -> dict:
 def convert_torch_weights(vgg_state_dict, lin_state_dict, out_path: str):
     """torchvision vgg16.features + LPIPS lins -> our .npz layout."""
     out = {}
-    conv_keys = [k for k in sorted(vgg_state_dict) if k.endswith(".weight")
-                 and "features" in k]
+    # NUMERIC sort on the layer index: lexicographic ordering puts
+    # features.10 before features.2 and silently scrambles every conv
+    conv_keys = sorted(
+        (k for k in vgg_state_dict if k.endswith(".weight")
+         and "features" in k),
+        key=lambda k: int(k.split("features.")[-1].split(".")[0]))
     idx = 0
     for k in conv_keys:
         out[f"conv{idx}_w"] = np.asarray(vgg_state_dict[k])

@@ -120,12 +120,21 @@ def read_cameras_text(path: str) -> dict[int, ColmapCamera]:
 def read_images_text(path: str) -> dict[int, ColmapImage]:
     out = {}
     with open(path) as f:
-        lines = [l for l in f if not l.startswith("#") and l.strip()]
-    for i in range(0, len(lines), 2):  # every other line is 2D points
+        # keep blank lines: COLMAP writes an EMPTY POINTS2D line for
+        # images with zero observations, and the header/points
+        # alternation must consume it (the reference reads the points
+        # line unconditionally, colmap_loader.py)
+        lines = [l for l in f if not l.startswith("#")]
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
         e = lines[i].split()
         out[int(e[0])] = ColmapImage(
             int(e[0]), np.array([float(x) for x in e[1:5]]),
             np.array([float(x) for x in e[5:8]]), int(e[8]), e[9])
+        i += 2  # skip the (possibly empty) POINTS2D line
     return out
 
 

@@ -45,6 +45,8 @@ def _sh_rest_from_props(props, n, max_sh_degree):
     names = sorted((p for p in props if p.startswith("f_rest_")),
                    key=lambda s: int(s.split("_")[-1]))
     assert len(names) == 3 * k, (len(names), k)
+    if k == 0:  # degree-0 model: no rest coefficients is a valid schema
+        return np.zeros((n, 0, 3), np.float32)
     cm = np.stack([props[p] for p in names], axis=1).reshape(n, 3, k)
     return np.transpose(cm, (0, 2, 1))  # (N, K-1, 3)
 

@@ -34,7 +34,9 @@ def world_to_view(R: np.ndarray, t: np.ndarray,
     Rt[:3, :3] = R.T
     Rt[:3, 3] = t
     Rt[3, 3] = 1.0
-    if translate is not None or scale != 1.0:
+    # skip the double 4x4 inversion when recentering is a no-op (the
+    # common case: callers pass a zeros default)
+    if (translate is not None and np.any(translate)) or scale != 1.0:
         translate = np.zeros(3) if translate is None else translate
         C2W = np.linalg.inv(Rt)
         cam_center = (C2W[:3, 3] + translate) * scale
