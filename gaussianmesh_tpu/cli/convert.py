@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import shlex
 import subprocess
 import sys
 
@@ -41,10 +42,13 @@ def main(argv=None) -> None:
         sys.exit("colmap binary not found — install COLMAP or pass "
                  "--colmap_executable")
     use_gpu = 0 if args.no_gpu else 1
-    src = args.source_path
+    # raw path for python-side fs ops; quoted form for every shell=True
+    # command string (spaces in the path would split arguments)
+    src_raw = args.source_path
+    src = shlex.quote(src_raw)
 
     if not args.skip_matching:
-        os.makedirs(os.path.join(src, "distorted", "sparse"), exist_ok=True)
+        os.makedirs(os.path.join(src_raw, "distorted", "sparse"), exist_ok=True)
         _run(f"{colmap} feature_extractor"
              f" --database_path {src}/distorted/database.db"
              f" --image_path {src}/input"
@@ -66,7 +70,7 @@ def main(argv=None) -> None:
          f" --output_path {src}"
          f" --output_type COLMAP")
 
-    sparse = os.path.join(src, "sparse")
+    sparse = os.path.join(src_raw, "sparse")
     os.makedirs(os.path.join(sparse, "0"), exist_ok=True)
     for f in os.listdir(sparse):
         if f == "0":
@@ -75,8 +79,8 @@ def main(argv=None) -> None:
 
     if args.resize:
         for scale, pct in (("_2", 50), ("_4", 25), ("_8", 12.5)):
-            dst = os.path.join(src, f"images{scale}")
-            shutil.copytree(os.path.join(src, "images"), dst,
+            dst = os.path.join(src_raw, f"images{scale}")
+            shutil.copytree(os.path.join(src_raw, "images"), dst,
                             dirs_exist_ok=True)
             for name in os.listdir(dst):
                 _run(f"{magick} mogrify -resize {pct}% "

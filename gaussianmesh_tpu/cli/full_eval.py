@@ -29,7 +29,6 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     assert len(args.scenes) == len(args.meshes)
 
-    from gaussianmesh_tpu.cli import (edit as _unused_edit,  # noqa: F401
                                       metrics as cli_metrics,
                                       render as cli_render,
                                       train_bg as cli_train_bg,

@@ -41,9 +41,14 @@ def main(argv=None) -> None:
         os.path.join(pc_dir, "point_cloud.ply"), max_sh_degree=model.sh_degree)
     bg_model = None
     bg_ply = os.path.join(pc_dir, "bg_point_cloud.ply")
-    if args.with_bg and os.path.exists(bg_ply):
-        bg_model = gaussian_ply.load_gaussian_ply(
-            bg_ply, max_sh_degree=model.sh_degree)
+    if args.with_bg:
+        if os.path.exists(bg_ply):
+            bg_model = gaussian_ply.load_gaussian_ply(
+                bg_ply, max_sh_degree=model.sh_degree)
+        else:
+            raise SystemExit(
+                f"--with_bg: {bg_ply} not found (run train_bg, or pick the "
+                f"iteration it saved at)")
 
     scene = Scene(model, shuffle=False)
     bg_color = jnp.ones(3) if model.white_background else jnp.zeros(3)

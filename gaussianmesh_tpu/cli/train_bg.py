@@ -55,8 +55,9 @@ def main(argv=None) -> None:
         print(f"  iter {m['iter']:>6d}  loss {m['loss']:.5f}  "
               f"n {m['n_alive']}  {m['elapsed']:.0f}s", flush=True)
 
-    save_iters = sorted(set(args.save_iterations) | {opt.iterations})
-    prev = 0
+    save_iters = sorted({b for b in args.save_iterations
+                         if b <= opt.iterations} | {opt.iterations})
+    prev = trainer.global_it
     for b in save_iters:
         if b <= prev:
             continue

@@ -76,19 +76,22 @@ def main(argv=None) -> None:
         print(f"[train] resumed from {ckpt_path} at iter {trainer.global_it}")
     print(f"[train] {int(trainer.binding.alive.sum())} gaussians after init")
 
-    test_iters = set(args.test_iterations)
-    save_iters = set(args.save_iterations)
-    ckpt_iters = set(args.checkpoint_iterations)
-    done = 0
+    # boundaries beyond the requested iteration count are dropped (the
+    # default 7K/30K test/save points must not extend a short run)
+    test_iters = {b for b in args.test_iterations if b <= opt.iterations}
+    save_iters = {b for b in args.save_iterations if b <= opt.iterations}
+    ckpt_iters = {b for b in args.checkpoint_iterations
+                  if b <= opt.iterations}
 
     def cb(m):
-        nonlocal done
         print(f"  iter {m['iter']:>6d}  loss {m['loss']:.5f}  "
               f"n {m['n_alive']}  {m['elapsed']:.0f}s", flush=True)
 
     boundaries = sorted(test_iters | save_iters | ckpt_iters
                         | {opt.iterations})
     prev = trainer.global_it
+    test_ds = (DeviceDataset.from_cameras(scene.test_cameras)
+               if scene.test_cameras and test_iters else None)
     for b in boundaries:
         if b <= prev:
             continue
@@ -100,8 +103,7 @@ def main(argv=None) -> None:
         if b in ckpt_iters:
             save_checkpoint(os.path.join(model.model_path, f"chkpnt{b}.ckpt"),
                             trainer.capture())
-        if b in test_iters and scene.test_cameras:
-            test_ds = DeviceDataset.from_cameras(scene.test_cameras)
+        if b in test_iters and test_ds is not None:
             vals = []
             import jax.numpy as jnp
             for i in range(test_ds.images.shape[0]):

@@ -88,7 +88,10 @@ def add_group(parser: argparse.ArgumentParser, cls, prefix: str = "") -> None:
         if s:
             names.append(f"-{s}")
         if f.type in ("bool", bool):
-            g.add_argument(*names, action="store_true", default=None)
+            # BooleanOptionalAction adds --no_<flag>, so default-True
+            # booleans (white_background, use_pallas, ...) are disablable
+            g.add_argument(*names, action=argparse.BooleanOptionalAction,
+                           default=None)
         else:
             typ = {int: int, float: float, str: str}.get(f.type) or (
                 int if f.type == "int" else float if f.type == "float" else str)
