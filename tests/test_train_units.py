@@ -178,3 +178,49 @@ def test_densify_grow_retry_path():
     vmax = int(np.asarray(tr.binding.vertex_index)[
         np.asarray(tr.binding.alive)].max())
     assert vmax < vcount <= tr.mesh_v.v.shape[0]
+
+
+def test_checkpoint_resume_preserves_schedule_position(tmp_path):
+    """global_it rides the checkpoint so restored runs continue the
+    densify/SH/reset schedules from where they stopped (regression for
+    the per-segment schedule restart)."""
+    from gaussianmesh_tpu.config import OptimizationParams, RuntimeParams
+    from gaussianmesh_tpu.train.trainer import DeviceDataset, MeshTrainer
+    from gaussianmesh_tpu.utils.checkpoint import (load_checkpoint,
+                                                   save_checkpoint)
+    from tests.meshes import icosphere
+    from tests.scenes import look_at_camera
+
+    w = h = 32
+    cams = [look_at_camera(w, h)]
+    rng = np.random.default_rng(1)
+    ds = DeviceDataset(
+        view=jnp.stack([c.viewmatrix for c in cams]),
+        proj=jnp.stack([c.projmatrix for c in cams]),
+        campos=jnp.stack([c.campos for c in cams]),
+        tanfovx=jnp.stack([c.tanfovx for c in cams]),
+        tanfovy=jnp.stack([c.tanfovy for c in cams]),
+        images=jnp.asarray(rng.integers(0, 255, (1, 3, h, w), np.uint8)),
+        masks=None, width=w, height=h)
+    v, f = icosphere(1)
+    opt = OptimizationParams(densify_from_iter=10_000)
+    rt = RuntimeParams(max_per_tile=64, max_tiles_per_gaussian=8,
+                       use_pallas=False)
+
+    def make():
+        return MeshTrainer(v, f, ds, opt, rt, spatial_lr_scale=3.0,
+                           init_target=100, max_sh_degree=2)
+
+    tr = make()
+    tr.train(iterations=7, log_every=100)
+    assert tr.global_it == 7
+    path = str(tmp_path / "ck.ckpt")
+    save_checkpoint(path, tr.capture())
+
+    tr2 = make()
+    tr2.restore(load_checkpoint(path, tr2.capture()))
+    assert tr2.global_it == 7
+    tr2.train(iterations=5, log_every=100)
+    assert tr2.global_it == 12
+    # params advanced from the restored state, with the restored key
+    assert np.isfinite(np.asarray(tr2.params.bc)).all()
