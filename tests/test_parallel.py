@@ -343,3 +343,36 @@ def test_multihost_helpers_single_process():
     multihost.initialize()          # no env -> no-op
     s, e = multihost.process_camera_slice(10)
     assert (s, e) == (0, 10)
+
+
+def test_gauss_sharded_send_overflow_reported():
+    """All Gaussians landing in ONE band with a tiny send capacity must
+    REPORT drops, never silently truncate."""
+    from jax.sharding import PartitionSpec as P
+    from tests.scenes import random_gaussians
+    from gaussianmesh_tpu.parallel import gauss_shard
+    from gaussianmesh_tpu.models.render import GaussianArrays
+
+    wt, ht = 64, 128
+    n, d_ax = 400, 8
+    sc = random_gaussians(n, seed=7)
+    cam = look_at_camera(wt, ht, distance=3.5)
+    cfg = RasterizerConfig(width=wt, height=ht, max_per_tile=256,
+                           use_pallas=False)
+    bg = jnp.zeros(3)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:d_ax]), ("shard",))
+
+    def body(xyz, cov6, op, rgb):
+        arrays = GaussianArrays(xyz=xyz, cov6=cov6, opacity=op, rgb=rgb,
+                                active=jnp.ones(xyz.shape[0], bool))
+        out = gauss_shard.rasterize_band_gauss_sharded(
+            arrays, cam, cfg, gy_local=1, axis_name="shard",
+            send_capacity=8, bg=bg)      # deliberately starved
+        return jax.lax.psum(out.send_overflow, "shard")
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
+        out_specs=P(), check_vma=False))
+    overflow = int(fn(sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"]))
+    assert overflow > 0                  # starved capacity must be visible
