@@ -12,6 +12,8 @@ outruns the reference's playback target.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
@@ -30,7 +32,35 @@ N_GAUSS = 100_000           # BASELINE config 1/2 scale
 BASELINE_MPIX_S = 30 * (WIDTH * HEIGHT) / 1e6  # 30 fps @ 1080p = 62.2
 
 
+_WATCHDOG_PID = None
+
+
+def _watchdog(seconds: int):
+    """The TPU here sits behind a relay that can wedge backend init for
+    hours INSIDE a GIL-holding C call (so SIGALRM handlers never run).
+    Fork a child that emits an explicit JSON error line and SIGKILLs the
+    parent after the deadline — OS-level delivery works regardless."""
+    global _WATCHDOG_PID
+    parent = os.getpid()
+    pid = os.fork()
+    if pid == 0:  # child: wait, then put the parent down
+        time.sleep(seconds)
+        try:
+            os.kill(parent, 0)  # still alive?
+        except OSError:
+            os._exit(0)
+        print(json.dumps({
+            "metric": "rasterize_fwd_bwd_mpix_per_s", "value": 0.0,
+            "unit": "Mpix/s", "vs_baseline": 0.0,
+            "error": f"timed out after {seconds}s (TPU relay unreachable?)",
+        }), flush=True)
+        os.kill(parent, signal.SIGKILL)
+        os._exit(2)
+    _WATCHDOG_PID = pid
+
+
 def main():
+    _watchdog(int(os.environ.get("GM_BENCH_TIMEOUT", "900")))
     from gaussianmesh_tpu.ops.rasterize import RasterizerConfig, rasterize
     from scenes import look_at_camera, random_gaussians
 
@@ -85,6 +115,8 @@ def main():
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / steps
 
+    if _WATCHDOG_PID:
+        os.kill(_WATCHDOG_PID, signal.SIGKILL)
     mpix_s = (WIDTH * HEIGHT) / dt / 1e6
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_mpix_per_s",
