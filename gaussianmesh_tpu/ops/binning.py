@@ -339,6 +339,12 @@ def finish_tile_lists(sorted_tile: jax.Array, sorted_gid: jax.Array,
     total_aligned = astarts[num_tiles]
     pair_overflow = jnp.maximum(total_aligned - p_cap, 0)
     astarts = jnp.minimum(astarts, p_cap)
+    # Degrade gracefully on aligned-domain overflow: a tile only renders
+    # the pairs it was actually GRANTED aligned space for (zero for tiles
+    # clamped away entirely). Without this, counts>0 tiles with no blocks
+    # are never written by the blend kernel and their output rows pass
+    # the counts>0 mask as uninitialized memory.
+    counts = jnp.minimum(counts, astarts[1:] - astarts[:-1])
 
     # sorted position p -> aligned position (for the deterministic
     # inverse-gather in the blend VJP): aligned = p + shift[t(p)] when the

@@ -42,6 +42,11 @@ class RasterizerConfig:
     # TileLists, never silent, so these can be tuned per workload
     pair_capacity_per_gaussian: int = 10
     row_capacity_per_gaussian: int = 4
+    # chunk-alignment padding budget, as a fraction of `blend_chunk` per
+    # tile (waste per tile is count mod chunk rounded up; 0.5 covers the
+    # uniform average with slack — workloads that measure their aligned
+    # totals can tighten it; pair_overflow reports any shortfall)
+    tile_align_budget: float = 0.5
     use_pallas: bool = True
     # n_contrib costs an extra per-block rank pass in the Pallas kernel;
     # off by default (training/playback never read it) — the jnp path
@@ -54,9 +59,18 @@ class RasterizerConfig:
     def row_capacity(self, n: int) -> int:
         return n * self.row_capacity_per_gaussian
 
-    def pair_capacity(self, n: int) -> int:
-        # alignment padding budget: ~half a chunk per tile on average
-        p = self.expand_capacity(n) + self.num_tiles * (self.blend_chunk // 2)
+    def aligned_pad(self, num_tiles: int) -> int:
+        # small grids get the exact worst case (every live tile can waste
+        # chunk-1 lanes — sparse scenes hit this, e.g. 1 gaussian/tile);
+        # big grids would pay too much HBM for that, so they take the
+        # budgeted average and rely on clamp + pair_overflow reporting
+        worst = num_tiles * self.blend_chunk
+        budgeted = int(num_tiles * self.blend_chunk * self.tile_align_budget)
+        return worst if num_tiles <= 2048 else budgeted
+
+    def pair_capacity(self, n: int, num_tiles: int | None = None) -> int:
+        nt = self.num_tiles if num_tiles is None else num_tiles
+        p = self.expand_capacity(n) + self.aligned_pad(nt)
         return -(-p // self.blend_chunk) * self.blend_chunk
 
     @property

@@ -144,7 +144,7 @@ def rasterize_band_gauss_sharded(
     feat_sorted = feat_recv.reshape(m_recv, tile_blend.FEAT)[perm]
 
     num_valid = jnp.sum(r_tile < nt_local).astype(jnp.int32)
-    p_cap = m_recv + nt_local * (chunk // 2)
+    p_cap = m_recv + cfg.aligned_pad(nt_local)
     p_cap = -(-p_cap // chunk) * chunk
     tiles = binning.finish_tile_lists(st, sg, num_valid, exp.rect_overflow,
                                       nt_local, cfg.max_per_tile, p_cap,

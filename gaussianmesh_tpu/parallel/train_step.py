@@ -85,9 +85,7 @@ def rasterize_band(arrays: render_mod.GaussianArrays, cam: CameraArrays,
          (y0_tiles * TILE).astype(jnp.float32)])[None, :])
     band_static = jax.tree.map(jax.lax.stop_gradient, band)
     n = arrays.xyz.shape[0]
-    p_cap = (n * cfg.pair_capacity_per_gaussian
-             + gx * gy_local * (cfg.blend_chunk // 2))
-    p_cap = -(-p_cap // cfg.blend_chunk) * cfg.blend_chunk
+    p_cap = cfg.pair_capacity(n, num_tiles=gx * gy_local)
     tiles = binning.build_tile_lists(band_static, gx, gy_local,
                                      cfg.max_per_tile,
                                      expand_capacity=cfg.expand_capacity(n),

@@ -154,3 +154,58 @@ def test_gradients_finite_with_dead_capacity_rows():
         assert np.isfinite(arr).all(), name
         # dead rows get exactly zero gradient
         assert np.abs(arr[f.shape[0]:]).max() == 0.0, name
+
+
+def test_pair_overflow_clamps_counts_to_granted_blocks():
+    """Aligned-domain overflow must degrade gracefully: a tile only keeps
+    pairs it was granted aligned space for. Tiles starved of blocks must
+    report count 0 — otherwise the blend kernel never writes their output
+    rows and uninitialized memory passes the counts>0 mask (seen as NaN
+    pixels on TPU under jit)."""
+    from gaussianmesh_tpu.ops import binning
+
+    num_tiles, chunk = 8, 128
+    # 6 live tiles x 1 pair -> aligned demand 6*128, capacity only 4*128
+    sorted_tile = jnp.asarray([0, 1, 2, 4, 5, 7], jnp.int32)
+    sorted_gid = jnp.arange(6, dtype=jnp.int32)
+    p_cap = 4 * chunk
+    tiles = binning.finish_tile_lists(sorted_tile, sorted_gid,
+                                      num_valid=jnp.int32(6),
+                                      rect_overflow=jnp.int32(0),
+                                      num_tiles=num_tiles, max_per_tile=64,
+                                      pair_capacity=p_cap, chunk=chunk)
+    counts = np.asarray(tiles.counts)
+    astarts = np.asarray(tiles.aligned_starts)
+    block_tile = np.asarray(tiles.block_tile)
+    assert int(tiles.pair_overflow) == 2 * chunk
+    # granted tiles keep their pair; starved tiles are clamped to zero
+    np.testing.assert_array_equal(counts[[0, 1, 2, 4]], 1)
+    np.testing.assert_array_equal(counts[[3, 5, 6, 7]], 0)
+    # invariant: every tile with count>0 owns at least one aligned block
+    for t in range(num_tiles):
+        if counts[t] > 0:
+            assert (block_tile[:p_cap // chunk] == t).any(), t
+        assert astarts[t + 1] - astarts[t] >= counts[t]
+
+
+def test_pair_overflow_render_stays_finite_and_reported():
+    """End-to-end: a starved pair capacity must drop far tiles to
+    background, not emit garbage; overflow is reported."""
+
+    class TinyPairCap(RasterizerConfig):
+        def pair_capacity(self, n, num_tiles=None):
+            return 2 * self.blend_chunk   # room for ~2 tiles only
+
+    cam = look_at_camera(W, H)
+    sc = random_gaussians(400, seed=3)
+    cfg = TinyPairCap(width=W, height=H, max_per_tile=256,
+                      max_tiles_per_gaussian=64, blend_chunk=128,
+                      use_pallas=False)
+    out = rasterize(sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"],
+                    BG, cam, cfg)
+    assert int(out.pair_overflow) > 0
+    assert np.isfinite(np.asarray(out.color)).all()
+    assert np.isfinite(np.asarray(out.final_t)).all()
+    # starved tiles fall back to pure background (final_t == 1)
+    ft = np.asarray(out.final_t)
+    assert (ft == 1.0).any()
