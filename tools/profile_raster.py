@@ -1,0 +1,201 @@
+"""Stage-by-stage timing of the 1080p rasterize fwd+bwd step on the TPU.
+
+Times each pipeline stage in isolation (with realistic, precomputed
+inputs pinned into a lax.scan data-dependency loop, same methodology as
+bench.py) and prints a per-stage ms table. Not part of the test suite —
+an engineering tool for finding the next kernel to attack.
+
+Usage:  python tools/profile_raster.py [n_gauss]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from gaussianmesh_tpu.ops import binning, preprocess as prep_mod, tile_blend
+from gaussianmesh_tpu.ops.rasterize import RasterizerConfig, rasterize
+from scenes import look_at_camera, random_gaussians
+
+WIDTH, HEIGHT = 1920, 1080
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+N = int(_pos[0]) if _pos else 100_000
+STEPS = 10
+
+cfg = RasterizerConfig(width=WIDTH, height=HEIGHT, max_per_tile=1024,
+                       blend_chunk=128, pair_capacity_per_gaussian=9,
+                       row_capacity_per_gaussian=3, use_pallas=True)
+cam = look_at_camera(WIDTH, HEIGHT, distance=4.0)
+sc = random_gaussians(N, seed=0, spread=1.4, scale_range=(0.004, 0.02))
+bg = jnp.ones(3)
+gx, gy = cfg.grid
+
+
+def timed(name, fn, *args, grad_wrt=None):
+    """Time fn(*args) STEPS times inside one dispatch; report ms/step."""
+    if grad_wrt is not None:
+        vg = jax.value_and_grad(fn, argnums=grad_wrt)
+
+        def step(*a):
+            v, g = vg(*a)
+            return v + sum(jnp.sum(x) for x in jax.tree.leaves(g)) * 1e-30
+    else:
+        def step(*a):
+            out = fn(*a)
+            return sum(jnp.sum(jnp.asarray(x, jnp.float32) * 1e-30)
+                       for x in jax.tree.leaves(out))
+
+    @jax.jit
+    def loop(*a):
+        def body(carry, _):
+            first = a[0]
+            if jnp.issubdtype(first.dtype, jnp.integer):
+                # runtime-zero int perturbation XLA cannot fold away
+                eps = (carry * 1e-30).astype(first.dtype)
+            else:
+                eps = jnp.asarray(carry * 1e-30, first.dtype)
+            perturbed = (first + eps,) + a[1:]
+            return jnp.float32(step(*perturbed)), None
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=STEPS)
+        return out
+
+    out = loop(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = loop(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / STEPS * 1e3
+    print(f"{name:42s} {dt:8.2f} ms")
+    return dt
+
+
+def profile_expand():
+    """Sub-stage timing of binning.expand_pairs internals."""
+    print(f"backend={jax.default_backend()}  N={N}  {WIDTH}x{HEIGHT}")
+    means, cov6, op = sc["means3d"], sc["cov6"], sc["opacity"]
+    prep = jax.jit(lambda m, c, o: prep_mod.preprocess(
+        m, c, cam, WIDTH, HEIGHT, opacity=o))(means, cov6, op)
+    n = N
+    m = cfg.expand_capacity(n)
+    m1 = cfg.row_capacity(n)
+
+    # rebuild the expansion stages standalone (mirrors binning.expand_pairs)
+    depth_key = jnp.where(prep.valid, prep.depth, jnp.inf)
+    order = jnp.argsort(depth_key).astype(jnp.int32)
+    gtab = jnp.stack([prep.rect_min[:, 1].astype(jnp.float32),
+                      prep.mean2d[:, 0], prep.mean2d[:, 1],
+                      prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+                      jnp.zeros((n,)), prep.rect_min[:, 0].astype(jnp.float32),
+                      prep.rect_max[:, 0].astype(jnp.float32),
+                      prep.rect_max[:, 1].astype(jnp.float32),
+                      prep.valid.astype(jnp.float32),
+                      jnp.arange(n, dtype=jnp.float32), depth_key], axis=-1)
+    gtab_o = gtab[order]
+    heights = jnp.where(gtab_o[:, 10] > 0.0,
+                        (gtab_o[:, 9] - gtab_o[:, 0]), 0.0).astype(jnp.int32)
+
+    timed("argsort depth (N)", lambda d: jnp.argsort(d), depth_key)
+    timed("gtab gather (N,13)", lambda g: g[order], gtab)
+    timed("offset_expand rows (m1)", lambda h: binning._offset_expand(
+        h, m1), heights)
+    roff, rank1, total_rows, _ = jax.jit(
+        lambda h: binning._offset_expand(h, m1))(heights)
+    tab1 = jnp.concatenate([roff[:n, None].astype(jnp.float32),
+                            gtab_o[:, :9], gtab_o[:, 11:13]], axis=-1)
+    timed("row gather (m1,12)", lambda t: t[rank1], tab1)
+    row_tab = tab1[rank1]
+    widths = jnp.clip((row_tab[:, 9] - row_tab[:, 8]).astype(jnp.int32), 0, None)
+    timed("offset_expand pairs (m)", lambda w: binning._offset_expand(
+        w, m), widths)
+    _, row_of, _, _ = jax.jit(lambda w: binning._offset_expand(w, m))(widths)
+    tab2 = jnp.stack([row_tab[:, 8].astype(jnp.int32),
+                      row_tab[:, 10].astype(jnp.int32),
+                      jax.lax.bitcast_convert_type(
+                          row_tab[:, 11].astype(jnp.float32), jnp.int32)],
+                     axis=-1)
+    timed("tab2 gather (m,3)", lambda t: t[row_of], tab2)
+    timed("tab2 gather (m,2)", lambda t: t[row_of], tab2[:, :2])
+    sv = tab2[row_of]
+    j = jnp.arange(m, dtype=jnp.int32)
+    timed("pair epilogue (m wheres)", lambda s: (
+        jnp.where(j < 700000, s[:, 0] + j, 8160),
+        jnp.where(j < 700000, s[:, 1], n)), sv)
+    timed("expand_pairs total", lambda d: binning.expand_pairs(
+        prep._replace(depth=d), gx, gy, m, opacity=op,
+        row_capacity=m1), prep.depth)
+
+
+def main():
+    print(f"backend={jax.default_backend()}  N={N}  {WIDTH}x{HEIGHT}")
+    means, cov6 = sc["means3d"], sc["cov6"]
+    op, rgb = sc["opacity"], sc["rgb"]
+
+    # --- stage inputs (computed once, device-resident) ---
+    prep = jax.jit(lambda m, c, o: prep_mod.preprocess(
+        m, c, cam, WIDTH, HEIGHT, opacity=o))(means, cov6, op)
+    n = N
+    p_cap = cfg.pair_capacity(n)
+    exp = jax.jit(lambda p: binning.expand_pairs(
+        p, gx, gy, cfg.expand_capacity(n), opacity=op,
+        row_capacity=cfg.row_capacity(n)))(prep)
+    sorted_tile, sorted_gid = jax.jit(lambda e: jax.lax.sort(
+        (e.pair_tile, e.gid_slot), num_keys=1, is_stable=True))(exp)
+    tiles = jax.jit(lambda st, sg, e: binning.finish_tile_lists(
+        st, sg, e.num_valid, e.rect_overflow, cfg.num_tiles,
+        cfg.max_per_tile, p_cap, cfg.blend_chunk))(sorted_tile, sorted_gid, exp)
+    feat = jax.jit(lambda pr: tile_blend.pack_features(
+        pr.mean2d, pr.conic, op.reshape(-1), rgb, pr.valid))(prep)
+    m = tiles.sorted_gid.shape[0]
+    pad_len = cfg.blend_chunk + (-m - cfg.blend_chunk) % cfg.blend_chunk
+    gid_pad = jnp.concatenate([tiles.sorted_gid,
+                               jnp.full((pad_len,), n, jnp.int32)])
+    featT = jax.jit(lambda f, g: f[g].T)(feat, gid_pad)
+    print(f"pairs live={int(exp.num_valid)} sorted_m={m} p_cap={p_cap} "
+          f"blocks={p_cap // cfg.blend_chunk} "
+          f"total_aligned={int(tiles.aligned_starts[-1])} "
+          f"overflow={int(tiles.pair_overflow)}")
+
+    # --- stage timings ---
+    timed("preprocess fwd", lambda mm: prep_mod.preprocess(
+        mm, cov6, cam, WIDTH, HEIGHT, opacity=op), means)
+    timed("expand_pairs", lambda d: binning.expand_pairs(
+        prep._replace(depth=d), gx, gy, cfg.expand_capacity(n),
+        opacity=op, row_capacity=cfg.row_capacity(n)), prep.depth)
+    timed("sort pairs", lambda pt: jax.lax.sort(
+        (pt, exp.gid_slot), num_keys=1, is_stable=True), exp.pair_tile)
+    timed("finish_tile_lists", lambda st: binning.finish_tile_lists(
+        st, sorted_gid, exp.num_valid, exp.rect_overflow, cfg.num_tiles,
+        cfg.max_per_tile, p_cap, cfg.blend_chunk), sorted_tile)
+    timed("feat gather+T", lambda f: f[gid_pad].T, feat)
+
+    blend = lambda ft: tile_blend.blend_sorted_pallas(
+        ft, tiles.block_tile, tiles.aligned_starts, tiles.starts,
+        tiles.counts, tiles.sorted_shift, gx, cfg.num_tiles, p_cap,
+        cfg.blend_chunk)
+    timed("blend fwd (pallas)", lambda ft: blend(ft)[0], featT)
+    timed("blend fwd+bwd (pallas)",
+          lambda ft: jnp.sum(blend(ft)[0] ** 2), featT, grad_wrt=0)
+
+    timed("rasterize fwd", lambda mm: rasterize(
+        mm, cov6, op, rgb, bg, cam, cfg).color, means)
+    timed("rasterize fwd+bwd", lambda mm: jnp.sum(rasterize(
+        mm, cov6, op, rgb, bg, cam, cfg).color ** 2), means,
+        grad_wrt=0)
+    timed("rasterize fwd+bwd (all grads)",
+          lambda mm, c6, o, rg: jnp.sum(rasterize(
+              mm, c6, o, rg, bg, cam, cfg).color ** 2),
+          means, cov6, op, rgb, grad_wrt=(0, 1, 2, 3))
+
+
+if __name__ == "__main__":
+    if "--expand" in sys.argv:
+        profile_expand()
+    else:
+        main()
