@@ -115,6 +115,69 @@ def _pixel_coords(tile_x, tile_y):
     return px, py
 
 
+# ---------------------------------------------------------------------------
+# MXU bilinear form: power(p, l) = -q(p, l)/2 is a rank-6 bilinear form in
+# the pixel monomials [1, px, py, px^2, px*py, py^2] and per-splat conic
+# coefficients, so the (PIX, chunk) power matrix is ONE (256, 8) x (8, 128)
+# MXU matmul instead of ~11 VPU ops per element. All coordinates are
+# TILE-LOCAL (px in [0, 16); lane means shifted by the tile origin), which
+# bounds every expansion term by the quadratic form over the tile
+# neighborhood — no large-coordinate cancellation (at global 1080p coords
+# the px^2-scale terms would eat ~5 of f32's 7 digits).
+# ---------------------------------------------------------------------------
+
+_QDIM = 8  # rank-6 basis padded to 8 for sublane alignment
+
+
+def _pix_basis() -> jax.Array:
+    """Constant (PIX, 8) tile-local pixel monomial basis."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (p % TILE).astype(jnp.float32)
+    py = (p // TILE).astype(jnp.float32)
+    one = jnp.ones_like(px)
+    zero = jnp.zeros_like(px)
+    return jnp.concatenate(
+        [one, px, py, px * px, px * py, py * py, zero, zero], axis=1)
+
+
+def _lane_quad(feat, tile_x, tile_y):
+    """Per-lane quadratic coefficients Q (8, chunk) + tile-local means.
+
+    power = P @ Q with P the pixel basis:
+      q0 = -(ca x^2 + cc y^2)/2 - cb x y   (x, y tile-local lane means)
+      q1 = ca x + cb y ,  q2 = cb x + cc y
+      q3 = -ca/2 ,  q4 = -cb ,  q5 = -cc/2
+    """
+    x = feat[ROW_X] - (tile_x * TILE).astype(jnp.float32)   # (chunk,)
+    y = feat[ROW_Y] - (tile_y * TILE).astype(jnp.float32)
+    ca, cb, cc = feat[ROW_CA], feat[ROW_CB], feat[ROW_CC]
+    q0 = -0.5 * (ca * x * x + cc * y * y) - cb * x * y
+    q1 = ca * x + cb * y
+    q2 = cb * x + cc * y
+    zero = jnp.zeros_like(x)
+    q = jnp.stack([q0, q1, q2, -0.5 * ca, -cb, -0.5 * cc, zero, zero])
+    return q, x, y
+
+
+def _alphas_mxu(feat, tile_x, tile_y):
+    """Gated alphas for one tile via the MXU bilinear form.
+
+    feat (FEAT, chunk) -> (alpha, gate, e, raw, power), each (PIX, chunk).
+    Same math as `_alphas` up to matmul rounding.
+    """
+    q, _, _ = _lane_quad(feat, tile_x, tile_y)
+    power = jax.lax.dot_general(
+        _pix_basis(), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (PIX, chunk)
+    op = feat[ROW_OP][None, :]
+    e = jnp.exp(power)
+    raw = op * e
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    gate = (power <= 0.0) & (alpha >= ALPHA_MIN)
+    alpha = jnp.where(gate, alpha, 0.0)
+    return alpha, gate, e, raw, power
+
+
 def _alphas(feat, px, py):
     """Gated alphas for one tile: feat (FEAT, K) -> alpha (PIX, K) + aux."""
     x = feat[ROW_X][None, :]
@@ -272,8 +335,7 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                 tile_y = t // grid_x
                 feat = _sorted_window(featA_ref, featB_ref, b, chunk,
                                       astarts_ref, starts_ref, t)
-                px, py = _pixel_coords(tile_x, tile_y)
-                alpha, _, _, _, _, _ = _alphas(feat, px, py)
+                alpha, _, _, _, _ = _alphas_mxu(feat, tile_x, tile_y)
                 live_lane = _sorted_alpha_mask(b, chunk, astarts_ref,
                                                counts_ref, t)
                 alpha = jnp.where(live_lane, alpha, 0.0)
@@ -336,15 +398,15 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
             tile_y = t // grid_x
             feat = _sorted_window(featA_ref, featB_ref, b, chunk,
                                   astarts_ref, starts_ref, t)
-            px, py = _pixel_coords(tile_x, tile_y)
-            alpha, gate, e_pow, raw, dx, dy = _alphas(feat, px, py)
+            alpha, gate, _, raw, _ = _alphas_mxu(feat, tile_x, tile_y)
             live_lane = _sorted_alpha_mask(b, chunk, astarts_ref,
                                            counts_ref, t)
             alpha = jnp.where(live_lane, alpha, 0.0)
 
-            g_r = g_ref[0, 0, :][:, None]
-            g_g = g_ref[0, 1, :][:, None]
-            g_b = g_ref[0, 2, :][:, None]
+            # (PIX, 8) pixel-side gradient stack: rows 0..2 = dL/d color
+            g3 = jnp.transpose(g_ref[0, 0:3, :])             # (PIX, 3)
+            g8 = jnp.concatenate(
+                [g3, jnp.zeros((PIX, _QDIM - 3), jnp.float32)], axis=1)
 
             s_start = s_start_pre
             om = 1.0 - alpha
@@ -354,8 +416,13 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
             s_excl = s_start[:, None] * _shift_one_lane(local_cum, 1.0)
             w = alpha * s_excl * include
 
-            dldw = (g_r * feat[ROW_R][None, :] + g_g * feat[ROW_G][None, :]
-                    + g_b * feat[ROW_B][None, :])
+            # dL/dw(p, l) = sum_c g_c(p) rgb_c(l): rank-3 -> one MXU matmul
+            rgb8 = jnp.concatenate(
+                [feat[ROW_R:ROW_B + 1],
+                 jnp.zeros((_QDIM - 3, chunk), jnp.float32)], axis=0)
+            dldw = jax.lax.dot_general(
+                g8, rgb8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (PIX, chunk)
             a_mat = dldw * w
             chunk_sum = jnp.sum(a_mat, axis=1)
             suffix = chunk_sum[:, None] - _cumsum_lanes(a_mat)
@@ -365,22 +432,40 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
             capped = raw > ALPHA_MAX
             live = gate & (~capped) & live_lane
             dalpha = jnp.where(live, dalpha, 0.0)
-            dop_elem = dalpha * e_pow
             dpower = dalpha * alpha
 
+            # All nine per-splat reductions over the 256 pixels ride the
+            # MXU: moments of dpower against the pixel monomial basis
+            # (tile-local coords, same basis as the forward form) plus the
+            # color-gradient contraction against w. The dx/dy polynomials
+            # are then recovered per lane from the moments:
+            #   sum_p dpower dx      = x R0 - R1   (dx = x - px)
+            #   sum_p dpower dx^2    = x^2 R0 - 2 x R1 + R3 , etc.
+            # d_op = sum dalpha e = sum dpower / op (alpha = op e on every
+            # live lane; both masks zero the rest).
+            basis = _pix_basis()                              # (PIX, 8)
+            mom = jax.lax.dot_general(
+                basis, dpower, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (8, chunk)
+            cw = jax.lax.dot_general(
+                g8, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (8, chunk)
+            _, x, y = _lane_quad(feat, tile_x, tile_y)
+            ca, cb, cc = feat[ROW_CA], feat[ROW_CB], feat[ROW_CC]
+            r0, r1, r2, r3, r4, r5 = (mom[0], mom[1], mom[2], mom[3],
+                                      mom[4], mom[5])
+            sdx = x * r0 - r1
+            sdy = y * r0 - r2
+            op_safe = jnp.maximum(feat[ROW_OP], 1e-12)
             zero = jnp.zeros((chunk,), jnp.float32)
             dpart_ref[...] = jnp.stack([
-                jnp.sum(dpower * (-(feat[ROW_CA][None, :] * dx
-                                    + feat[ROW_CB][None, :] * dy)), axis=0),
-                jnp.sum(dpower * (-(feat[ROW_CC][None, :] * dy
-                                    + feat[ROW_CB][None, :] * dx)), axis=0),
-                jnp.sum(dpower * (-0.5 * dx * dx), axis=0),
-                jnp.sum(dpower * (-dx * dy), axis=0),
-                jnp.sum(dpower * (-0.5 * dy * dy), axis=0),
-                jnp.sum(dop_elem, axis=0),
-                jnp.sum(jnp.where(live_lane, g_r * w, 0.0), axis=0),
-                jnp.sum(jnp.where(live_lane, g_g * w, 0.0), axis=0),
-                jnp.sum(jnp.where(live_lane, g_b * w, 0.0), axis=0),
+                -(ca * sdx + cb * sdy),
+                -(cc * sdy + cb * sdx),
+                -0.5 * (x * x * r0 - 2.0 * x * r1 + r3),
+                -(x * y * r0 - x * r2 - y * r1 + r4),
+                -0.5 * (y * y * r0 - 2.0 * y * r2 + r5),
+                r0 / op_safe,
+                cw[0], cw[1], cw[2],
                 zero, zero, zero, zero, zero, zero, zero,
             ])
 

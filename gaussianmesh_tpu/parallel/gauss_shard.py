@@ -99,7 +99,7 @@ def rasterize_band_gauss_sharded(
     pair_feat = feat[exp.gid_slot]                        # (m, 16)
 
     # 2. bucket by destination band; the stable sort keeps each bucket in
-    # local depth order (pair slots are generated depth-ordered)
+    # emission order (the receiver's 3-key sort establishes depth order)
     dest = jnp.minimum(exp.pair_tile // nt_local, d_ax)   # sentinel -> D
     m_idx = jnp.arange(m_local, dtype=jnp.int32)
     sdest, sidx = jax.lax.sort((dest, m_idx), num_keys=1, is_stable=True)
