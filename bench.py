@@ -115,7 +115,7 @@ def _measure():
     dt = (time.perf_counter() - t0) / steps
 
     mpix_s = (WIDTH * HEIGHT) / dt / 1e6
-    print(json.dumps({
+    return {
         "metric": "rasterize_fwd_bwd_mpix_per_s",
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
@@ -124,29 +124,41 @@ def _measure():
                    "num_rendered": n_rendered, "overflow": overflow,
                    "backend": jax.default_backend(),
                    "pallas": use_pallas},
-    }))
+    }
+
+
+def _kill_watchdog():
+    global _WATCHDOG_PID
+    if _WATCHDOG_PID:
+        os.kill(_WATCHDOG_PID, signal.SIGKILL)
+        _WATCHDOG_PID = None
 
 
 def main():
-    _watchdog(int(os.environ.get("GM_BENCH_TIMEOUT", "900")))
+    timeout_s = int(os.environ.get("GM_BENCH_TIMEOUT", "900"))
     last_err = None
-    for attempt in range(2):  # the TPU relay occasionally aborts mid-run
+    attempts = 2
+    for attempt in range(attempts):  # the TPU relay occasionally aborts mid-run
+        _watchdog(timeout_s)  # re-armed per attempt: each gets the full budget
         try:
-            _measure()
-            last_err = None
-            break
+            result = _measure()
+            _kill_watchdog()
+            # success line printed only after the watchdog is down, so a
+            # racing deadline can never SIGKILL the buffered output
+            print(json.dumps(result), flush=True)
+            return
         except Exception as e:  # noqa: BLE001 — must emit a JSON line
             last_err = e
+        finally:
+            _kill_watchdog()
+        if attempt < attempts - 1:
             time.sleep(5.0)
-    if _WATCHDOG_PID:
-        os.kill(_WATCHDOG_PID, signal.SIGKILL)
-    if last_err is not None:
-        print(json.dumps({
-            "metric": "rasterize_fwd_bwd_mpix_per_s", "value": 0.0,
-            "unit": "Mpix/s", "vs_baseline": 0.0,
-            "error": f"{type(last_err).__name__}: {last_err}",
-        }), flush=True)
-        raise SystemExit(1)
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_mpix_per_s", "value": 0.0,
+        "unit": "Mpix/s", "vs_baseline": 0.0,
+        "error": f"{type(last_err).__name__}: {last_err}",
+    }), flush=True)
+    raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -155,7 +155,7 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
         # table gather's VJP is the single per-gaussian scatter-add (the
         # reference backward's atomicAdd, made deterministic).
         m = tiles.sorted_gid.shape[0]
-        pad_len = cfg.blend_chunk + (-m - cfg.blend_chunk) % cfg.blend_chunk
+        pad_len = 2 * cfg.blend_chunk + (-m) % cfg.blend_chunk
         gid_pad = jnp.concatenate([
             tiles.sorted_gid,
             jnp.full((pad_len,), n, jnp.int32)])

@@ -256,13 +256,21 @@ NCONTRIB_ROW = 4
 # (~8 ms/frame at 1080p). Instead the kernel reads each block's features
 # straight from the SORTED pair buffer: block b of tile t covers sorted
 # columns [starts[t] + b*chunk - astarts[t], ...) — contiguous, just not
-# 128-aligned (Mosaic cannot slice VMEM at unaligned lane offsets). So
-# the kernel takes TWO auto-pipelined views of the sorted buffer — the
-# 128-aligned block containing src0 and the next one, both index-mapped
-# from the prefetched scalars — and extracts the misaligned window with
-# one dynamic lane roll. Lanes past the tile's count hold the NEXT
-# tile's real rows, so a live-lane mask zeroes their alphas (the aligned
-# path used dummy rows instead).
+# 128-aligned. The feature buffer stays in HBM (memory_space=ANY) and the
+# kernel streams each misaligned (FEAT, chunk) window itself with a
+# double-buffered async DMA: step b starts the fetch for step b+1, then
+# waits on its own. The DMA engine handles the unaligned lane offset
+# directly, so no roll/realign pass is needed.
+#
+# (An earlier revision expressed the same reads as TWO auto-pipelined
+# 128-aligned views of the buffer with scalar-prefetch-dependent index
+# maps + a dynamic lane roll. At 1080p/100K scale, repeated in-program
+# invocation of that construct nondeterministically ABORTED the TPU
+# backend — isolated to the scalar-index-mapped *input* streams by
+# kernel ablation (round-2 log). Manual DMA with in-kernel offset
+# computation sidesteps the auto-pipeliner entirely and is the
+# load-bearing fix; do not reintroduce scalar-dependent input index
+# maps here. Scalar-dependent OUTPUT maps (out8 below) showed no issue.)
 #
 # The backward walks in reverse with the same reads; its per-block
 # gradient writes stay on the ALIGNED domain (disjoint blocks, no
@@ -278,46 +286,62 @@ def _sorted_alpha_mask(b, chunk, astarts_ref, counts_ref, t):
     return pos < counts_ref[t]
 
 
-def _sorted_window(refA, refB, b, chunk, astarts_ref, starts_ref, t):
-    """Extract the (FEAT, chunk) sorted-domain window starting at src0
-    from its two aligned blocks via one dynamic lane roll."""
-    src0 = starts_ref[t] + b * chunk - astarts_ref[t]
+def _sorted_src0(b, chunk, btile_ref, astarts_ref, starts_ref, m_pad,
+                 num_tiles):
+    """Sorted-domain start column of aligned block b, clamped so a
+    2*chunk-wide aligned DMA stays in bounds (sentinel blocks read pad
+    garbage that the live-lane mask zeroes; callers pad the buffer by
+    >= 2*chunk columns past the live range)."""
+    tc = jnp.clip(btile_ref[b], 0, num_tiles - 1)
+    src0 = starts_ref[tc] + b * chunk - astarts_ref[tc]
+    return jnp.clip(src0, 0, m_pad - 2 * chunk)
+
+
+def _window_dma(feat_ref, buf, sem, slot, src0, chunk):
+    """Async copy of the two 128-aligned blocks covering the sorted
+    window [src0, src0 + chunk) into slot — DMA offsets must respect the
+    (8, 128) tiling, so the misaligned extraction happens later with one
+    dynamic lane roll (`_window_extract`)."""
+    base = (src0 // chunk) * chunk
+    return pltpu.make_async_copy(
+        feat_ref.at[:, pl.ds(pl.multiple_of(base, chunk), 2 * chunk)],
+        buf.at[slot], sem.at[slot])
+
+
+def _window_extract(buf, slot, src0, chunk):
+    """(FEAT, chunk) misaligned window from the fetched aligned pair."""
     off = jax.lax.rem(src0, chunk)
-    window = jnp.concatenate([refA[...], refB[...]], axis=1)
-    shifted = pltpu.roll(window, 2 * chunk - off, axis=1)
+    shifted = pltpu.roll(buf[slot], 2 * chunk - off, axis=1)
     return shifted[:, :chunk]
 
 
-def _sorted_feat_specs(chunk: int, nb_feat: int, reverse: bool):
-    """Two BlockSpecs viewing the sorted feature buffer at the aligned
-    block containing src0 and the one after (clamped in range)."""
-    def blk_of(b, btile, astarts, counts, starts):
-        tc = jnp.minimum(btile[b], counts.shape[0] - 1)  # clamp pad sentinel
-        src0 = starts[tc] + b * chunk - astarts[tc]
-        return jnp.clip(src0 // chunk, 0, nb_feat - 2)
-
-    def stepof(b):
-        return pl.num_programs(0) - 1 - b if reverse else b
-
-    specA = pl.BlockSpec(
-        (FEAT, chunk),
-        lambda b, btile, astarts, counts, starts: (
-            0, blk_of(stepof(b), btile, astarts, counts, starts)))
-    specB = pl.BlockSpec(
-        (FEAT, chunk),
-        lambda b, btile, astarts, counts, starts: (
-            0, blk_of(stepof(b), btile, astarts, counts, starts) + 1))
-    return [specA, specB]
-
-
 def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
-                            with_contrib: bool):
-    def kernel(btile_ref, astarts_ref, counts_ref, starts_ref, featA_ref,
-               featB_ref, out_ref, ckpt_ref, carry):
+                            m_pad: int, with_contrib: bool):
+    def kernel(btile_ref, astarts_ref, counts_ref, starts_ref, feat_ref,
+               out_ref, ckpt_ref, carry, buf, sem):
         b = pl.program_id(0)
+        pb = pl.num_programs(0)
         t = btile_ref[b]
         prev_t = jnp.where(b > 0, btile_ref[jnp.maximum(b - 1, 0)], -1)
         next_t = btile_ref[b + 1]
+
+        def src0_of(bb):
+            return _sorted_src0(bb, chunk, btile_ref, astarts_ref,
+                                starts_ref, m_pad, num_tiles)
+
+        # double-buffered stream: every block fetches unconditionally
+        # (sentinels read clamped pad — uniform traffic keeps semaphore
+        # bookkeeping trivial: exactly one start + one wait per block)
+        @pl.when(b == 0)
+        def _prologue():
+            _window_dma(feat_ref, buf, sem, 0, src0_of(0), chunk).start()
+
+        @pl.when(b + 1 < pb)
+        def _prefetch():
+            _window_dma(feat_ref, buf, sem, (b + 1) % 2, src0_of(b + 1),
+                        chunk).start()
+
+        _window_dma(feat_ref, buf, sem, b % 2, src0_of(b), chunk).wait()
 
         @pl.when(t < num_tiles)
         def _valid():
@@ -333,8 +357,7 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             def _work():
                 tile_x = t % grid_x
                 tile_y = t // grid_x
-                feat = _sorted_window(featA_ref, featB_ref, b, chunk,
-                                      astarts_ref, starts_ref, t)
+                feat = _window_extract(buf, b % 2, src0_of(b), chunk)
                 alpha, _, _, _, _ = _alphas_mxu(feat, tile_x, tile_y)
                 live_lane = _sorted_alpha_mask(b, chunk, astarts_ref,
                                                counts_ref, t)
@@ -377,17 +400,47 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
     return kernel
 
 
-def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
-    def kernel(btile_ref, astarts_ref, counts_ref, starts_ref, featA_ref,
-               featB_ref, ckpt_ref, g_ref, dpart_ref, qcarry):
+def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
+                            m_pad: int):
+    def kernel(btile_ref, astarts_ref, counts_ref, starts_ref, feat_ref,
+               g_hbm_ref, ckpt_ref, dpart_ref, qcarry, buf, sem, gbuf,
+               gsem):
         pb = pl.num_programs(0)
         b = pb - 1 - pl.program_id(0)                  # reverse walk
         t = btile_ref[b]
         later_t = btile_ref[b + 1]
 
+        def src0_of(bb):
+            return _sorted_src0(bb, chunk, btile_ref, astarts_ref,
+                                starts_ref, m_pad, num_tiles)
+
+        def g_dma(slot, bb):
+            # (1, 8, PIX) pixel-gradient row of block bb's owning tile;
+            # sentinel blocks read a clamped row they never use
+            tc = jnp.clip(btile_ref[bb], 0, num_tiles - 1)
+            return pltpu.make_async_copy(
+                g_hbm_ref.at[tc], gbuf.at[slot], gsem.at[slot])
+
+        # reverse-order double-buffered streams (feat window + g row):
+        # uniform one-start-one-wait per block, as in the forward
+        @pl.when(b == pb - 1)
+        def _prologue():
+            _window_dma(feat_ref, buf, sem, b % 2, src0_of(b), chunk).start()
+            g_dma(b % 2, b).start()
+
+        @pl.when(b > 0)
+        def _prefetch():
+            _window_dma(feat_ref, buf, sem, (b - 1) % 2, src0_of(b - 1),
+                        chunk).start()
+            g_dma((b - 1) % 2, b - 1).start()
+
+        _window_dma(feat_ref, buf, sem, b % 2, src0_of(b), chunk).wait()
+        g_dma(b % 2, b).wait()
+        g_ref = gbuf.at[b % 2]
+
         @pl.when((t < num_tiles) & (t != later_t))
         def _init_tile():
-            qcarry[0, :] = g_ref[0, 3, :] * g_ref[0, NCONTRIB_ROW, :]
+            qcarry[0, :] = g_ref[3, :] * g_ref[NCONTRIB_ROW, :]
 
         s_start_pre = ckpt_ref[0, 0, :]
         live_blk = (t < num_tiles) & (jnp.max(s_start_pre) >= T_EPS)
@@ -396,15 +449,14 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int):
         def _valid():
             tile_x = t % grid_x
             tile_y = t // grid_x
-            feat = _sorted_window(featA_ref, featB_ref, b, chunk,
-                                  astarts_ref, starts_ref, t)
+            feat = _window_extract(buf, b % 2, src0_of(b), chunk)
             alpha, gate, _, raw, _ = _alphas_mxu(feat, tile_x, tile_y)
             live_lane = _sorted_alpha_mask(b, chunk, astarts_ref,
                                            counts_ref, t)
             alpha = jnp.where(live_lane, alpha, 0.0)
 
             # (PIX, 8) pixel-side gradient stack: rows 0..2 = dL/d color
-            g3 = jnp.transpose(g_ref[0, 0:3, :])             # (PIX, 3)
+            g3 = jnp.transpose(g_ref[0:3, :])                # (PIX, 3)
             g8 = jnp.concatenate(
                 [g3, jnp.zeros((PIX, _QDIM - 3), jnp.float32)], axis=1)
 
@@ -507,18 +559,23 @@ def _sorted_fwd_impl(feat_sortedT, block_tile, aligned_starts, starts,
     f_rows, m_pad = feat_sortedT.shape
     assert f_rows == FEAT and m_pad % chunk == 0, (f_rows, m_pad, chunk)
     pb = p_cap // chunk
-    kernel = _make_sorted_fwd_kernel(grid_x, chunk, num_tiles, with_contrib)
+    kernel = _make_sorted_fwd_kernel(grid_x, chunk, num_tiles, m_pad,
+                                     with_contrib)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(pb,),
-        in_specs=_sorted_feat_specs(chunk, m_pad // chunk, reverse=False),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((1, 8, PIX),
                          lambda b, btile, *s: (jnp.minimum(btile[b], num_tiles - 1), 0, 0)),
             pl.BlockSpec((1, 1, PIX), lambda b, *s: (b, 0, 0)),
         ),
-        scratch_shapes=[pltpu.VMEM((8, PIX), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((8, PIX), jnp.float32),
+            pltpu.VMEM((2, FEAT, 2 * chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     out8, ckpt = pl.pallas_call(
         kernel,
@@ -528,8 +585,7 @@ def _sorted_fwd_impl(feat_sortedT, block_tile, aligned_starts, starts,
             jax.ShapeDtypeStruct((pb, 1, PIX), jnp.float32),
         ),
     )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
-      counts.astype(jnp.int32), starts.astype(jnp.int32), feat_sortedT,
-      feat_sortedT)
+      counts.astype(jnp.int32), starts.astype(jnp.int32), feat_sortedT)
 
     has = counts > 0
     color = jnp.where(has[:, None, None], out8[:, 0:3], 0.0)
@@ -559,7 +615,7 @@ def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
     zeros = jnp.zeros_like(final_t)
     g8 = jnp.stack([g_color[:, 0], g_color[:, 1], g_color[:, 2],
                     g_final_t, final_t, zeros, zeros, zeros], axis=1)
-    kernel = _make_sorted_bwd_kernel(grid_x, chunk, num_tiles)
+    kernel = _make_sorted_bwd_kernel(grid_x, chunk, num_tiles, m_pad)
 
     def rev(b, *s):
         return (0, pl.num_programs(0) - 1 - b)
@@ -567,15 +623,19 @@ def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(pb,),
-        in_specs=_sorted_feat_specs(chunk, m_pad // chunk, reverse=True) + [
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # feat (streamed by DMA)
+            pl.BlockSpec(memory_space=pl.ANY),   # g8 (streamed by DMA)
             pl.BlockSpec((1, 1, PIX), lambda b, *s: (pl.num_programs(0) - 1 - b, 0, 0)),
-            pl.BlockSpec((1, 8, PIX),
-                         lambda b, btile, *s: (
-                             jnp.minimum(btile[pl.num_programs(0) - 1 - b],
-                                         num_tiles - 1), 0, 0)),
         ],
         out_specs=pl.BlockSpec((FEAT, chunk), rev),
-        scratch_shapes=[pltpu.VMEM((8, PIX), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((8, PIX), jnp.float32),
+            pltpu.VMEM((2, FEAT, 2 * chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 8, PIX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     dpartT = pl.pallas_call(
         kernel,
@@ -583,7 +643,7 @@ def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
         out_shape=jax.ShapeDtypeStruct((FEAT, p_cap), jnp.float32),
     )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
       counts.astype(jnp.int32), starts.astype(jnp.int32), feat_sortedT,
-      feat_sortedT, ckpt, g8)
+      g8, ckpt)
 
     # aligned -> sorted: deterministic inverse gather (each live sorted
     # row has a unique aligned position); padding columns get zero

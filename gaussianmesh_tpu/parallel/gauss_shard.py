@@ -151,7 +151,7 @@ def rasterize_band_gauss_sharded(
                                       chunk)
 
     if cfg.use_pallas:
-        pad_len = chunk + (-m_recv - chunk) % chunk
+        pad_len = 2 * chunk + (-m_recv) % chunk
         feat_pad = jnp.concatenate(
             [feat_sorted, jnp.zeros((pad_len, tile_blend.FEAT))])
         feat_pad = jax.lax.optimization_barrier(feat_pad)

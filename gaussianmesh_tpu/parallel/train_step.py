@@ -102,7 +102,7 @@ def rasterize_band(arrays: render_mod.GaussianArrays, cam: CameraArrays,
                                     arrays.rgb, band.valid)
     if cfg.use_pallas:
         m = tiles.sorted_gid.shape[0]
-        pad_len = cfg.blend_chunk + (-m - cfg.blend_chunk) % cfg.blend_chunk
+        pad_len = 2 * cfg.blend_chunk + (-m) % cfg.blend_chunk
         gid_pad = jnp.concatenate([
             tiles.sorted_gid,
             jnp.full((pad_len,), n, jnp.int32)])

@@ -153,7 +153,7 @@ def main():
     feat = jax.jit(lambda pr: tile_blend.pack_features(
         pr.mean2d, pr.conic, op.reshape(-1), rgb, pr.valid))(prep)
     m = tiles.sorted_gid.shape[0]
-    pad_len = cfg.blend_chunk + (-m - cfg.blend_chunk) % cfg.blend_chunk
+    pad_len = 2 * cfg.blend_chunk + (-m) % cfg.blend_chunk
     gid_pad = jnp.concatenate([tiles.sorted_gid,
                                jnp.full((pad_len,), n, jnp.int32)])
     featT = jax.jit(lambda f, g: f[g].T)(feat, gid_pad)
