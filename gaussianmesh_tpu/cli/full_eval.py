@@ -29,7 +29,7 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     assert len(args.scenes) == len(args.meshes)
 
-                                      metrics as cli_metrics,
+    from gaussianmesh_tpu.cli import (metrics as cli_metrics,
                                       render as cli_render,
                                       train_bg as cli_train_bg,
                                       train_mesh as cli_train_mesh)

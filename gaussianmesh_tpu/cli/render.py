@@ -62,7 +62,7 @@ def main(argv=None) -> None:
             cfg = RasterizerConfig(
                 width=cam.width, height=cam.height,
                 max_per_tile=rt.max_per_tile,
-                max_tiles_per_gaussian=rt.max_tiles_per_gaussian,
+                
                 blend_chunk=rt.blend_chunk,
                 use_pallas=rt.use_pallas and jax.default_backend() == "tpu")
             arrays = render_mod.mesh_model_arrays(fg_params, fg_binding, ca,

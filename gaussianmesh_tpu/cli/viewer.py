@@ -68,7 +68,7 @@ def main(argv=None) -> None:
     cfg = RasterizerConfig(
         width=args.width, height=args.height,
         max_per_tile=rt.max_per_tile,
-        max_tiles_per_gaussian=rt.max_tiles_per_gaussian,
+        
         blend_chunk=rt.blend_chunk,
         use_pallas=rt.use_pallas and jax.default_backend() == "tpu")
     bg = (1.0, 1.0, 1.0) if args.white_bg else (0.0, 0.0, 0.0)

@@ -70,7 +70,6 @@ class RuntimeParams:
     """TPU-framework additions (capacities, devices) — no reference analog."""
     capacity: int = 0            # 0 -> auto from init count
     max_per_tile: int = 1024
-    max_tiles_per_gaussian: int = 32
     blend_chunk: int = 128
     use_pallas: bool = True
     data_axis: int = 1           # device-mesh data (camera) axis size

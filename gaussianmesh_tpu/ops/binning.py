@@ -65,8 +65,9 @@ class TileLists(NamedTuple):
     sorted_shift: jax.Array    # (expand_capacity,) int32 — sorted position ->
                                # aligned position offset (aligned = p + shift;
                                # out-of-range marked pair_capacity)
-    block_tile: jax.Array      # (pair_capacity // chunk + 1,) int32 owning
-                               # tile per block; num_tiles = sentinel
+    block_tile: jax.Array      # (pair_capacity // (chunk // 2) + 1,) int32
+                               # owning tile per aligned HALF-chunk;
+                               # num_tiles = sentinel
     num_rendered: jax.Array    # () int32 — live pairs after the ellipse cull
     tile_overflow: jax.Array   # () int32 — pairs dropped by max_per_tile
     rect_overflow: jax.Array   # () int32 — rows dropped by row_capacity +
@@ -318,10 +319,16 @@ def finish_tile_lists(sorted_tile: jax.Array, sorted_gid: jax.Array,
                       num_valid, rect_overflow, num_tiles: int,
                       max_per_tile: int, pair_capacity: int,
                       chunk: int = 128) -> TileLists:
-    """Per-tile ranges + chunk-aligned bookkeeping from the SORTED pair
-    domain (tile-grouped, depth-ordered within tile)."""
+    """Per-tile ranges + half-chunk-aligned bookkeeping from the SORTED
+    pair domain (tile-grouped, depth-ordered within tile).
+
+    Alignment granule = chunk // 2: the blend kernel processes two
+    independent half-chunks per grid step (tile_blend.py), so tiles only
+    pay up to half-1 lanes of padding instead of chunk-1 (~25% vs ~44%
+    lane waste at 1080p/100K)."""
     m = sorted_tile.shape[0]
     p_cap = pair_capacity
+    half = chunk // 2
     assert p_cap % chunk == 0, (p_cap, chunk)
 
     # 6. ranges + aligned layout (gathers, no big scatter)
@@ -330,7 +337,7 @@ def finish_tile_lists(sorted_tile: jax.Array, sorted_gid: jax.Array,
     counts = jnp.minimum(raw_counts, max_per_tile)
     tile_overflow = jnp.sum(raw_counts - counts)
 
-    aligned_counts = ((counts + chunk - 1) // chunk) * chunk
+    aligned_counts = ((counts + half - 1) // half) * half
     astarts = jnp.concatenate([
         jnp.zeros(1, jnp.int32),
         jnp.cumsum(aligned_counts).astype(jnp.int32)])
@@ -354,15 +361,16 @@ def finish_tile_lists(sorted_tile: jax.Array, sorted_gid: jax.Array,
     in_cnt = (p_idx < segp[:, 1]) & (sorted_tile < num_tiles)
     sorted_shift = jnp.where(in_cnt, segp[:, 0], p_cap - p_idx)
 
-    pb = p_cap // chunk
-    block_starts = jnp.arange(pb + 1, dtype=jnp.int32) * chunk
-    # block_tile[b] = #{t : astarts[t] <= b*chunk} - 1 (searchsorted-right
-    # over chunk-ALIGNED astarts): a (T+1)-sized scatter + one cumsum
-    # instead of a second XLA binary-search while-loop
-    delta = jnp.zeros((pb + 1,), jnp.int32).at[astarts // chunk].add(
+    pb2 = p_cap // half
+    half_starts = jnp.arange(pb2 + 1, dtype=jnp.int32) * half
+    # block_tile[h] = owning tile of aligned HALF-chunk h:
+    # #{t : astarts[t] <= h*half} - 1 (searchsorted-right over
+    # half-ALIGNED astarts): a (T+1)-sized scatter + one cumsum instead
+    # of a second XLA binary-search while-loop
+    delta = jnp.zeros((pb2 + 1,), jnp.int32).at[astarts // half].add(
         1, mode="drop")
     block_tile = jnp.cumsum(delta).astype(jnp.int32) - 1
-    block_tile = jnp.where(block_starts < total_aligned, block_tile, num_tiles)
+    block_tile = jnp.where(half_starts < total_aligned, block_tile, num_tiles)
 
     return TileLists(
         counts=counts,

@@ -4,8 +4,8 @@ The public op replacing the reference's two-phase CUDA pipeline
 (/root/reference/gaussian_renderer/.../rasterizer_impl.cu:198-511 and the
 jt.code FFI in rasterize_points.py). JAX owns allocation, so the reference's
 buffer-size negotiation disappears; static capacities
-(`max_per_tile`, `max_tiles_per_gaussian`) replace dynamic `num_rendered`
-sizing, with overflow reported.
+(`max_per_tile`, `pair_capacity_per_gaussian`) replace dynamic
+`num_rendered` sizing, with overflow reported.
 
 Differentiation: binning indices are stop-gradient; gradients flow through
 the feature-table gather (whose VJP is a deterministic scatter-add — the
@@ -32,20 +32,18 @@ class RasterizerConfig:
     width: int
     height: int
     max_per_tile: int = 512
-    # kept for API compatibility; the offset-exact binning has no
-    # per-gaussian budget (capacity is global via
-    # pair_capacity_per_gaussian)
-    max_tiles_per_gaussian: int = 32
     blend_chunk: int = 128
     # capacity headroom over measured live counts (~7.8 pairs, ~2.8 rows
     # per gaussian at 1080p/100K): overflow is counted and reported by
     # TileLists, never silent, so these can be tuned per workload
     pair_capacity_per_gaussian: int = 10
     row_capacity_per_gaussian: int = 4
-    # chunk-alignment padding budget, as a fraction of `blend_chunk` per
-    # tile (waste per tile is count mod chunk rounded up; 0.5 covers the
-    # uniform average with slack — workloads that measure their aligned
-    # totals can tighten it; pair_overflow reports any shortfall)
+    # alignment padding budget, as a fraction of the align granule
+    # (= blend_chunk // 2) per tile (waste per tile is count mod align
+    # rounded up; 0.5 covers the uniform average with slack — workloads
+    # that measure their aligned totals can tighten it; pair_overflow
+    # reports any shortfall). Oversizing costs real time: the blend grid
+    # walks every capacity block, live or not.
     tile_align_budget: float = 0.5
     use_pallas: bool = True
     # n_contrib costs an extra per-block rank pass in the Pallas kernel;
@@ -60,13 +58,15 @@ class RasterizerConfig:
         return n * self.row_capacity_per_gaussian
 
     def aligned_pad(self, num_tiles: int) -> int:
+        # alignment granule is half a chunk (binning.finish_tile_lists).
         # small grids get the exact worst case (every live tile can waste
-        # chunk-1 lanes — sparse scenes hit this, e.g. 1 gaussian/tile);
+        # half-1 lanes — sparse scenes hit this, e.g. 1 gaussian/tile);
         # big grids would pay too much HBM for that, so they take the
         # budgeted average and rely on clamp + pair_overflow reporting
-        worst = num_tiles * self.blend_chunk
-        budgeted = int(num_tiles * self.blend_chunk * self.tile_align_budget)
-        return worst if num_tiles <= 2048 else budgeted
+        align = self.blend_chunk // 2
+        worst = num_tiles * align
+        budgeted = int(num_tiles * align * self.tile_align_budget)
+        return worst if num_tiles <= 4096 else budgeted
 
     def pair_capacity(self, n: int, num_tiles: int | None = None) -> int:
         nt = self.num_tiles if num_tiles is None else num_tiles

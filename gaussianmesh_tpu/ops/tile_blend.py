@@ -249,283 +249,485 @@ NCONTRIB_ROW = 4
 
 
 # ---------------------------------------------------------------------------
-# Sorted-domain blend: the aligned relocation happens INSIDE the kernel.
+# Sorted-domain blend v2: half-granular alignment, two tiles per block.
 #
-# The aligned pair layout exists only so each 128-wide block belongs to one
-# tile; materializing it in HBM costs a p_cap-row gather + transpose
-# (~8 ms/frame at 1080p). Instead the kernel reads each block's features
-# straight from the SORTED pair buffer: block b of tile t covers sorted
-# columns [starts[t] + b*chunk - astarts[t], ...) — contiguous, just not
-# 128-aligned. The feature buffer stays in HBM (memory_space=ANY) and the
-# kernel streams each misaligned (FEAT, chunk) window itself with a
-# double-buffered async DMA: step b starts the fetch for step b+1, then
-# waits on its own. The DMA engine handles the unaligned lane offset
-# directly, so no roll/realign pass is needed.
+# The aligned pair layout exists only so each compute block belongs to
+# known tiles; v1 aligned every tile's range to the full 128-lane chunk,
+# wasting 44% of lanes at 1080p/100K (avg ~108 pairs/tile). v2 aligns to
+# HALF a chunk (64): each 128-lane grid step processes two independent
+# 64-lane halves, each owned by (possibly different) tiles — per-lane
+# tile origins let both halves share one (PIX, chunk) alpha/gate
+# evaluation; only the transmittance scans (which must reset at the
+# half boundary) and the color/gradient matmuls split per half. Lane
+# waste drops to <= 63 per tile (~25%), and the half-split scans are
+# CHEAPER than one full scan (2 x 6 half-width steps vs 7 full).
 #
-# (An earlier revision expressed the same reads as TWO auto-pipelined
-# 128-aligned views of the buffer with scalar-prefetch-dependent index
-# maps + a dynamic lane roll. At 1080p/100K scale, repeated in-program
-# invocation of that construct nondeterministically ABORTED the TPU
-# backend — isolated to the scalar-index-mapped *input* streams by
-# kernel ablation (round-2 log). Manual DMA with in-kernel offset
-# computation sidesteps the auto-pipeliner entirely and is the
+# The feature buffer stays in HBM (memory_space=ANY); the kernel streams
+# each half's misaligned sorted-domain window itself with double-buffered
+# async DMA (one aligned chunk-wide fetch + a dynamic lane roll), and the
+# backward streams the two owning tiles' pixel-gradient rows the same
+# way.
+#
+# (An earlier revision expressed these reads as auto-pipelined views
+# with scalar-prefetch-dependent index maps. At 1080p/100K scale,
+# repeated in-program invocation of that construct nondeterministically
+# ABORTED the TPU backend — isolated to the scalar-index-mapped *input*
+# streams by kernel ablation (round-2 log). Manual DMA with in-kernel
+# offset computation sidesteps the auto-pipeliner and is the
 # load-bearing fix; do not reintroduce scalar-dependent input index
-# maps here. Scalar-dependent OUTPUT maps (out8 below) showed no issue.)
+# maps here. Scalar-dependent OUTPUT maps showed no issue, and the two
+# per-half outputs below rely on that: a tile's halves alternate between
+# the even-half and odd-half output arrays, which are summed after the
+# call (rows never visited stay zero via input_output_aliases on zero
+# inputs).
 #
 # The backward walks in reverse with the same reads; its per-block
 # gradient writes stay on the ALIGNED domain (disjoint blocks, no
 # conflicts) and are mapped back to sorted rows by one inverse gather
-# (sorted_shift) — still scatter-free and deterministic.
+# (sorted_shift) — still scatter-free and deterministic. Per-half
+# transmittance checkpoints from the forward remove any reverse-sweep
+# data dependency.
 # ---------------------------------------------------------------------------
 
 
-def _sorted_alpha_mask(b, chunk, astarts_ref, counts_ref, t):
-    """(1, chunk) bool — lanes within tile t's clamped count."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    pos = b * chunk - astarts_ref[t] + lane
-    return pos < counts_ref[t]
-
-
-def _sorted_src0(b, chunk, btile_ref, astarts_ref, starts_ref, m_pad,
-                 num_tiles):
-    """Sorted-domain start column of aligned block b, clamped so a
-    2*chunk-wide aligned DMA stays in bounds (sentinel blocks read pad
+def _half_src0(h, half, ht_ref, astarts_ref, starts_ref, m_pad, num_tiles):
+    """Sorted-domain start column of aligned half h, clamped so the
+    2-chunk-wide aligned fetch stays in bounds (sentinel halves read pad
     garbage that the live-lane mask zeroes; callers pad the buffer by
-    >= 2*chunk columns past the live range)."""
-    tc = jnp.clip(btile_ref[b], 0, num_tiles - 1)
-    src0 = starts_ref[tc] + b * chunk - astarts_ref[tc]
-    return jnp.clip(src0, 0, m_pad - 2 * chunk)
+    >= 2 chunks past the live range)."""
+    tc = jnp.clip(ht_ref[h], 0, num_tiles - 1)
+    src0 = starts_ref[tc] + h * half - astarts_ref[tc]
+    return jnp.clip(src0, 0, m_pad - 4 * half)
 
 
-def _window_dma(feat_ref, buf, sem, slot, src0, chunk):
-    """Async copy of the two 128-aligned blocks covering the sorted
-    window [src0, src0 + chunk) into slot — DMA offsets must respect the
-    (8, 128) tiling, so the misaligned extraction happens later with one
-    dynamic lane roll (`_window_extract`)."""
+def _half_dma(feat_ref, buf, sem, slot, hi, src0, half):
+    """Async copy of the two CHUNK-aligned blocks covering the sorted
+    window [src0, src0 + half) into (slot, hi) — DMA offsets must be
+    multiples of the (8, 128) lane tiling, so the fetch is 2*chunk wide
+    at a chunk-aligned base and the misaligned extraction happens later
+    with one dynamic lane roll (`_half_extract`)."""
+    chunk = 2 * half
     base = (src0 // chunk) * chunk
     return pltpu.make_async_copy(
         feat_ref.at[:, pl.ds(pl.multiple_of(base, chunk), 2 * chunk)],
-        buf.at[slot], sem.at[slot])
+        buf.at[slot, hi], sem.at[slot, hi])
 
 
-def _window_extract(buf, slot, src0, chunk):
-    """(FEAT, chunk) misaligned window from the fetched aligned pair."""
-    off = jax.lax.rem(src0, chunk)
-    shifted = pltpu.roll(buf[slot], 2 * chunk - off, axis=1)
-    return shifted[:, :chunk]
+def _half_extract(buf, slot, hi, src0, half):
+    """(FEAT, half) misaligned window from the fetched aligned pair."""
+    off = jax.lax.rem(src0, 2 * half)
+    shifted = pltpu.roll(buf[slot, hi], 4 * half - off, axis=1)
+    return shifted[:, :half]
+
+
+def _lane_mix(half, chunk, a_val, b_val, dtype=jnp.float32):
+    """(1, chunk) per-lane vector: a_val on the first half's lanes,
+    b_val on the second's (scalars broadcast)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    return jnp.where(lane < half, jnp.asarray(a_val, dtype),
+                     jnp.asarray(b_val, dtype))
+
+
+_DEAD_Q0 = -1e30  # exp(power) == 0 exactly for dead lanes
+
+
+def _raw_alphas_T(feat, ox, oy, live):
+    """Raw alphas TRANSPOSED — pairs on SUBLANES, pixels on lanes.
+
+    Returns (raw (chunk, PIX), x (1, chunk), y (1, chunk)). Opacity and
+    the live-lane mask are folded INTO the exponent (q0 += log(op), dead
+    lanes get -1e30), so raw == op * exp(power) elementwise with zero
+    extra vector work on the big array, and raw == 0.0 exactly on dead
+    lanes. The transposed orientation comes straight out of the MXU by
+    contracting the 8-dim basis axis — no transposes anywhere — and
+    makes the half-chunk granularity FREE: sublane slices at multiples
+    of 8 are tile-aligned, unlike sub-128 lane slices which waste full
+    vector slots (measured 2x regression, round-2 log).
+
+    Semantics note: the reference's `power > 0 -> skip` guard
+    (forward.cu:330-335) is dropped here. power > 0 can only arise from
+    rounding near the ellipse center where alpha ~= op either way, and
+    the ALPHA_MAX cap bounds the result; the jnp oracle keeps the guard
+    and the parity suites bound the difference.
+    """
+    x = feat[ROW_X][None, :] - ox                       # (1, chunk)
+    y = feat[ROW_Y][None, :] - oy
+    ca = feat[ROW_CA][None, :]
+    cb = feat[ROW_CB][None, :]
+    cc = feat[ROW_CC][None, :]
+    log_op = jnp.log(jnp.maximum(feat[ROW_OP][None, :], 1e-30))
+    q0 = -0.5 * (ca * x * x + cc * y * y) - cb * x * y + log_op
+    q0 = jnp.where(live, q0, _DEAD_Q0)
+    q1 = ca * x + cb * y
+    q2 = cb * x + cc * y
+    zero = jnp.zeros_like(x)
+    q = jnp.concatenate([q0, q1, q2, -0.5 * ca, -cb, -0.5 * cc, zero, zero])
+    power_t = jax.lax.dot_general(
+        q, _pix_basis(), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (chunk, PIX)
+    return jnp.exp(power_t), x, y
+
+
+def _shift_one_sublane(x, fill):
+    """Shift down by one sublane, filling row 0 with `fill`."""
+    return jnp.concatenate(
+        [jnp.full_like(x[:1], fill), x[:-1]], axis=0)
+
+
+def _cumprod_sublanes(x):
+    """Inclusive cumprod down the sublane axis (log-step scan)."""
+    k = x.shape[0]
+    d = 1
+    while d < k:
+        x = x * jnp.concatenate([jnp.ones_like(x[:d]), x[:k - d]], axis=0)
+        d *= 2
+    return x
+
+
+def _cumsum_sublanes(x):
+    """Inclusive cumsum down the sublane axis (log-step scan)."""
+    k = x.shape[0]
+    d = 1
+    while d < k:
+        x = x + jnp.concatenate([jnp.zeros_like(x[:d]), x[:k - d]], axis=0)
+        d *= 2
+    return x
 
 
 def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                             m_pad: int, with_contrib: bool):
-    def kernel(btile_ref, astarts_ref, counts_ref, starts_ref, feat_ref,
-               out_ref, ckpt_ref, carry, buf, sem):
+    half = chunk // 2
+
+    def kernel(ht_ref, astarts_ref, counts_ref, starts_ref, feat_ref,
+               zA_ref, zB_ref, outA_ref, outB_ref, ckpt_ref, carry, buf,
+               sem):
         b = pl.program_id(0)
         pb = pl.num_programs(0)
-        t = btile_ref[b]
-        prev_t = jnp.where(b > 0, btile_ref[jnp.maximum(b - 1, 0)], -1)
-        next_t = btile_ref[b + 1]
+        h0 = 2 * b
+        t0 = ht_ref[h0]
+        t1 = ht_ref[h0 + 1]
+        prev_t = jnp.where(b > 0, ht_ref[jnp.maximum(h0 - 1, 0)], -1)
+        prev_even = jnp.where(b > 0, ht_ref[jnp.maximum(h0 - 2, 0)], -1)
+        next_t = ht_ref[h0 + 2]
 
-        def src0_of(bb):
-            return _sorted_src0(bb, chunk, btile_ref, astarts_ref,
-                                starts_ref, m_pad, num_tiles)
+        def src0_of(h):
+            return _half_src0(h, half, ht_ref, astarts_ref, starts_ref,
+                              m_pad, num_tiles)
 
-        # double-buffered stream: every block fetches unconditionally
+        # double-buffered stream: every half fetches unconditionally
         # (sentinels read clamped pad — uniform traffic keeps semaphore
-        # bookkeeping trivial: exactly one start + one wait per block)
+        # bookkeeping trivial: exactly one start + one wait per half)
         @pl.when(b == 0)
         def _prologue():
-            _window_dma(feat_ref, buf, sem, 0, src0_of(0), chunk).start()
+            _half_dma(feat_ref, buf, sem, 0, 0, src0_of(0), half).start()
+            _half_dma(feat_ref, buf, sem, 0, 1, src0_of(1), half).start()
 
         @pl.when(b + 1 < pb)
         def _prefetch():
-            _window_dma(feat_ref, buf, sem, (b + 1) % 2, src0_of(b + 1),
-                        chunk).start()
+            nslot = (b + 1) % 2
+            _half_dma(feat_ref, buf, sem, nslot, 0, src0_of(h0 + 2),
+                      half).start()
+            _half_dma(feat_ref, buf, sem, nslot, 1, src0_of(h0 + 3),
+                      half).start()
 
-        _window_dma(feat_ref, buf, sem, b % 2, src0_of(b), chunk).wait()
+        slot = b % 2
+        _half_dma(feat_ref, buf, sem, slot, 0, src0_of(h0), half).wait()
+        _half_dma(feat_ref, buf, sem, slot, 1, src0_of(h0 + 1), half).wait()
 
-        @pl.when(t < num_tiles)
-        def _valid():
-            @pl.when(t != prev_t)
-            def _first():
-                carry[...] = jnp.ones_like(carry)
-                carry[2, :] = jnp.zeros_like(carry[2, :])
-                out_ref[...] = jnp.zeros_like(out_ref)
+        # capacity blocks past the live range: fetches were already
+        # issued (uniform semaphore bookkeeping) but there is no math
+        # and no write (block_tile is nondecreasing, so t0 sentinel
+        # implies t1 sentinel)
+        @pl.when(t0 < num_tiles)
+        def _live_block():
+            # first visit of each output row: zero it (rows never visited
+            # keep the aliased zero input)
+            @pl.when((t0 != prev_even) & (t0 < num_tiles))
+            def _initA():
+                outA_ref[...] = jnp.zeros_like(outA_ref)
 
-            s_in = carry[0, :]
-            ckpt_ref[0, 0, :] = s_in
+            @pl.when((t1 != prev_t) & (t1 < num_tiles))
+            def _initB():
+                outB_ref[...] = jnp.zeros_like(outB_ref)
 
-            def _work():
-                tile_x = t % grid_x
-                tile_y = t // grid_x
-                feat = _window_extract(buf, b % 2, src0_of(b), chunk)
-                alpha, _, _, _, _ = _alphas_mxu(feat, tile_x, tile_y)
-                live_lane = _sorted_alpha_mask(b, chunk, astarts_ref,
-                                               counts_ref, t)
-                alpha = jnp.where(live_lane, alpha, 0.0)
+            # ---- combined per-lane evaluation over both halves ----
+            t0c = jnp.clip(t0, 0, num_tiles - 1)
+            t1c = jnp.clip(t1, 0, num_tiles - 1)
+            featw = jnp.concatenate(
+                [_half_extract(buf, slot, 0, src0_of(h0), half),
+                 _half_extract(buf, slot, 1, src0_of(h0 + 1), half)], axis=1)
+            ox = _lane_mix(half, chunk, (t0c % grid_x) * TILE,
+                           (t1c % grid_x) * TILE)
+            oy = _lane_mix(half, chunk, (t0c // grid_x) * TILE,
+                           (t1c // grid_x) * TILE)
+            # live lanes: position within the owning tile's clamped count
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            rem0 = counts_ref[t0c] - (h0 * half - astarts_ref[t0c])
+            rem1 = counts_ref[t1c] - ((h0 + 1) * half - astarts_ref[t1c])
+            pos = jnp.where(lane < half, lane, lane - half)
+            live = (pos < _lane_mix(half, chunk, rem0, rem1, jnp.int32)
+                    ) & (_lane_mix(half, chunk, t0, t1, jnp.int32) < num_tiles)
 
-                om = 1.0 - alpha
-                local_cum = _cumprod_lanes(om)
-                s = s_in[:, None] * local_cum
-                include = s >= T_EPS
-                s_excl = s_in[:, None] * _shift_one_lane(local_cum, 1.0)
-                w = alpha * s_excl * include
+            # TRANSPOSED domain from here: pairs on sublanes, pixels on lanes
+            raw_t, _, _ = _raw_alphas_T(featw, ox, oy, live)  # (chunk, PIX)
+            alpha_t = jnp.where(raw_t >= ALPHA_MIN,
+                                jnp.minimum(raw_t, ALPHA_MAX), 0.0)
 
-                rgb3 = feat[ROW_R:ROW_B + 1]           # (3, chunk)
-                # (3, PIX) orientation: one out-row accumulate, no
-                # lane-strided column slices (see flat kernel note)
-                colors3 = jax.lax.dot_general(
-                    rgb3, w, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (3, PIX)
-                out_ref[0, 0:3, :] += colors3
+            # ---- per-half transmittance chains (sublane scans; sublane
+            # slices at multiples of 8 are tile-aligned and cost-free) ----
+            s_prev = carry[0, :]
+            sA_in = jnp.where(t0 != prev_t, jnp.ones_like(s_prev), s_prev)
+            ckpt_ref[0, 0, :] = sA_in
 
-                carry[0, :] = s[:, s.shape[1] - 1]
-                s_last_inc = jnp.min(jnp.where(include, local_cum, 1.0), axis=1)
-                carry[1, :] *= s_last_inc
-                if with_contrib:
-                    gidx = b * chunk + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, chunk), 1)
-                    rank = (gidx - astarts_ref[t] + 1).astype(jnp.float32)
-                    contributes = include & (alpha > 0.0)
-                    carry[2, :] = jnp.maximum(
-                        carry[2, :],
-                        jnp.max(jnp.where(contributes, rank, 0.0), axis=1))
+            omA = 1.0 - alpha_t[:half]
+            cumA = _cumprod_sublanes(omA)
+            sA = sA_in[None, :] * cumA
+            inclA = sA >= T_EPS
+            wA = alpha_t[:half] * (sA_in[None, :]
+                                   * _shift_one_sublane(cumA, 1.0)) * inclA
+            sA_end = sA[half - 1]
 
-            pl.when(jnp.max(s_in) >= T_EPS)(_work)
+            sB_in = jnp.where(t1 != t0, jnp.ones_like(sA_end), sA_end)
+            ckpt_ref[0, 1, :] = sB_in
 
-            @pl.when(t != next_t)
-            def _last():
-                out_ref[0, 3, :] = carry[1, :]
-                out_ref[0, NCONTRIB_ROW, :] = carry[2, :]
+            omB = 1.0 - alpha_t[half:]
+            cumB = _cumprod_sublanes(omB)
+            sB = sB_in[None, :] * cumB
+            inclB = sB >= T_EPS
+            wB = alpha_t[half:] * (sB_in[None, :]
+                                   * _shift_one_sublane(cumB, 1.0)) * inclB
+            carry[0, :] = sB[half - 1]
+
+            # ---- per-half color accumulation ----
+            @pl.when(t0 < num_tiles)
+            def _accumA():
+                colors = jax.lax.dot_general(
+                    featw[ROW_R:ROW_B + 1, :half], wA, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (3, PIX)
+                outA_ref[0, 0:3, :] += colors
+
+            @pl.when(t1 < num_tiles)
+            def _accumB():
+                colors = jax.lax.dot_general(
+                    featw[ROW_R:ROW_B + 1, half:], wB, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                outB_ref[0, 0:3, :] += colors
+
+            # ---- final_t / n_contrib bookkeeping ----
+            ftA_reset = jnp.where(t0 != prev_t, jnp.ones_like(s_prev),
+                                  carry[1, :])
+            ftA = ftA_reset * jnp.min(jnp.where(inclA, cumA, 1.0), axis=0)
+            if with_contrib:
+                ncA_reset = jnp.where(t0 != prev_t, jnp.zeros_like(s_prev),
+                                      carry[2, :])
+                rankA = (jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
+                         + (h0 * half - astarts_ref[t0c]) + 1
+                         ).astype(jnp.float32)
+                ncA = jnp.maximum(ncA_reset, jnp.max(
+                    jnp.where(inclA & (alpha_t[:half] > 0.0), rankA, 0.0),
+                    axis=0))
+            else:
+                ncA = jnp.zeros_like(s_prev)
+
+            @pl.when((t1 != t0) & (t0 < num_tiles))
+            def _closeA():
+                outA_ref[0, 3, :] = ftA
+                outA_ref[0, NCONTRIB_ROW, :] = ncA
+
+            ftB_reset = jnp.where(t1 != t0, jnp.ones_like(s_prev), ftA)
+            ftB = ftB_reset * jnp.min(jnp.where(inclB, cumB, 1.0), axis=0)
+            carry[1, :] = ftB
+            if with_contrib:
+                ncB_reset = jnp.where(t1 != t0, jnp.zeros_like(s_prev), ncA)
+                rankB = (jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
+                         + ((h0 + 1) * half - astarts_ref[t1c]) + 1
+                         ).astype(jnp.float32)
+                ncB = jnp.maximum(ncB_reset, jnp.max(
+                    jnp.where(inclB & (alpha_t[half:] > 0.0), rankB, 0.0),
+                    axis=0))
+            else:
+                ncB = jnp.zeros_like(s_prev)
+            carry[2, :] = ncB
+
+            @pl.when((next_t != t1) & (t1 < num_tiles))
+            def _closeB():
+                outB_ref[0, 3, :] = ftB
+                outB_ref[0, NCONTRIB_ROW, :] = ncB
 
     return kernel
 
 
 def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                             m_pad: int):
-    def kernel(btile_ref, astarts_ref, counts_ref, starts_ref, feat_ref,
+    half = chunk // 2
+
+    def kernel(ht_ref, astarts_ref, counts_ref, starts_ref, feat_ref,
                g_hbm_ref, ckpt_ref, dpart_ref, qcarry, buf, sem, gbuf,
                gsem):
         pb = pl.num_programs(0)
         b = pb - 1 - pl.program_id(0)                  # reverse walk
-        t = btile_ref[b]
-        later_t = btile_ref[b + 1]
+        h0 = 2 * b
+        t0 = ht_ref[h0]
+        t1 = ht_ref[h0 + 1]
+        later_t = ht_ref[h0 + 2]
+        t0c = jnp.clip(t0, 0, num_tiles - 1)
+        t1c = jnp.clip(t1, 0, num_tiles - 1)
 
-        def src0_of(bb):
-            return _sorted_src0(bb, chunk, btile_ref, astarts_ref,
-                                starts_ref, m_pad, num_tiles)
+        def src0_of(h):
+            return _half_src0(h, half, ht_ref, astarts_ref, starts_ref,
+                              m_pad, num_tiles)
 
-        def g_dma(slot, bb):
-            # (1, 8, PIX) pixel-gradient row of block bb's owning tile;
-            # sentinel blocks read a clamped row they never use
-            tc = jnp.clip(btile_ref[bb], 0, num_tiles - 1)
+        def g_dma(slot, hi, h):
+            tc = jnp.clip(ht_ref[h], 0, num_tiles - 1)
             return pltpu.make_async_copy(
-                g_hbm_ref.at[tc], gbuf.at[slot], gsem.at[slot])
+                g_hbm_ref.at[tc], gbuf.at[slot, hi], gsem.at[slot, hi])
 
-        # reverse-order double-buffered streams (feat window + g row):
-        # uniform one-start-one-wait per block, as in the forward
+        # reverse-order double-buffered streams (feat windows + g rows)
+        slot = b % 2
         @pl.when(b == pb - 1)
         def _prologue():
-            _window_dma(feat_ref, buf, sem, b % 2, src0_of(b), chunk).start()
-            g_dma(b % 2, b).start()
+            _half_dma(feat_ref, buf, sem, slot, 0, src0_of(h0), half).start()
+            _half_dma(feat_ref, buf, sem, slot, 1, src0_of(h0 + 1),
+                      half).start()
+            g_dma(slot, 0, h0).start()
+            g_dma(slot, 1, h0 + 1).start()
 
         @pl.when(b > 0)
         def _prefetch():
-            _window_dma(feat_ref, buf, sem, (b - 1) % 2, src0_of(b - 1),
-                        chunk).start()
-            g_dma((b - 1) % 2, b - 1).start()
+            nslot = (b - 1) % 2
+            _half_dma(feat_ref, buf, sem, nslot, 0, src0_of(h0 - 2),
+                      half).start()
+            _half_dma(feat_ref, buf, sem, nslot, 1, src0_of(h0 - 1),
+                      half).start()
+            g_dma(nslot, 0, h0 - 2).start()
+            g_dma(nslot, 1, h0 - 1).start()
 
-        _window_dma(feat_ref, buf, sem, b % 2, src0_of(b), chunk).wait()
-        g_dma(b % 2, b).wait()
-        g_ref = gbuf.at[b % 2]
+        _half_dma(feat_ref, buf, sem, slot, 0, src0_of(h0), half).wait()
+        _half_dma(feat_ref, buf, sem, slot, 1, src0_of(h0 + 1), half).wait()
+        g_dma(slot, 0, h0).wait()
+        g_dma(slot, 1, h0 + 1).wait()
 
-        @pl.when((t < num_tiles) & (t != later_t))
-        def _init_tile():
-            qcarry[0, :] = g_ref[3, :] * g_ref[NCONTRIB_ROW, :]
+        @pl.when(t0 < num_tiles)
+        def _live_block():
+            # ---- combined alpha evaluation (identical to forward) ----
+            featw = jnp.concatenate(
+                [_half_extract(buf, slot, 0, src0_of(h0), half),
+                 _half_extract(buf, slot, 1, src0_of(h0 + 1), half)], axis=1)
+            ox = _lane_mix(half, chunk, (t0c % grid_x) * TILE,
+                           (t1c % grid_x) * TILE)
+            oy = _lane_mix(half, chunk, (t0c // grid_x) * TILE,
+                           (t1c // grid_x) * TILE)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            rem0 = counts_ref[t0c] - (h0 * half - astarts_ref[t0c])
+            rem1 = counts_ref[t1c] - ((h0 + 1) * half - astarts_ref[t1c])
+            pos = jnp.where(lane < half, lane, lane - half)
+            live = (pos < _lane_mix(half, chunk, rem0, rem1, jnp.int32)
+                    ) & (_lane_mix(half, chunk, t0, t1, jnp.int32) < num_tiles)
 
-        s_start_pre = ckpt_ref[0, 0, :]
-        live_blk = (t < num_tiles) & (jnp.max(s_start_pre) >= T_EPS)
+            raw_t, x, y = _raw_alphas_T(featw, ox, oy, live)   # (chunk, PIX)
+            # gradient-live: dead lanes have raw == 0 (< ALPHA_MIN), capped
+            # splats are masked (consistent with forward's capped min)
+            glive = (raw_t >= ALPHA_MIN) & (raw_t <= ALPHA_MAX)
+            alpha_t = jnp.where(glive, raw_t, 0.0)
 
-        @pl.when(live_blk)
-        def _valid():
-            tile_x = t % grid_x
-            tile_y = t // grid_x
-            feat = _window_extract(buf, b % 2, src0_of(b), chunk)
-            alpha, gate, _, raw, _ = _alphas_mxu(feat, tile_x, tile_y)
-            live_lane = _sorted_alpha_mask(b, chunk, astarts_ref,
-                                           counts_ref, t)
-            alpha = jnp.where(live_lane, alpha, 0.0)
+            def half_grads(g_ref, alpha_h, s_in, rgb_h):
+                """Within-half gradient core, transposed domain.
 
-            # (PIX, 8) pixel-side gradient stack: rows 0..2 = dL/d color
-            g3 = jnp.transpose(g_ref[0:3, :])                # (PIX, 3)
-            g8 = jnp.concatenate(
-                [g3, jnp.zeros((PIX, _QDIM - 3), jnp.float32)], axis=1)
+                alpha_h (half, PIX); g_ref rows: 0..2 dL/dcolor,
+                3 g_final_t, 4 final_t; rgb_h (3, half) lane-oriented.
+                """
+                om = 1.0 - alpha_h
+                cum = _cumprod_sublanes(om)
+                s_excl = s_in[None, :] * _shift_one_sublane(cum, 1.0)
+                incl = (s_in[None, :] * cum) >= T_EPS
+                w = alpha_h * s_excl * incl
 
-            s_start = s_start_pre
-            om = 1.0 - alpha
-            local_cum = _cumprod_lanes(om)
-            s = s_start[:, None] * local_cum
-            include = s >= T_EPS
-            s_excl = s_start[:, None] * _shift_one_lane(local_cum, 1.0)
-            w = alpha * s_excl * include
+                # dldw[l, p] = sum_c rgb[c, l] g[c, p] — MXU, no transposes
+                dldw = jax.lax.dot_general(
+                    rgb_h, g_ref[0:3, :], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (half, PIX)
+                a_mat = dldw * w
+                chunk_sum = jnp.sum(a_mat, axis=0)            # (PIX,)
+                suffix = chunk_sum[None, :] - _cumsum_sublanes(a_mat)
+                return w, om, incl, dldw, chunk_sum, suffix, s_excl
 
-            # dL/dw(p, l) = sum_c g_c(p) rgb_c(l): rank-3 -> one MXU matmul
-            rgb8 = jnp.concatenate(
-                [feat[ROW_R:ROW_B + 1],
-                 jnp.zeros((_QDIM - 3, chunk), jnp.float32)], axis=0)
-            dldw = jax.lax.dot_general(
-                g8, rgb8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (PIX, chunk)
-            a_mat = dldw * w
-            chunk_sum = jnp.sum(a_mat, axis=1)
-            suffix = chunk_sum[:, None] - _cumsum_lanes(a_mat)
-            q = qcarry[0, :][:, None] + suffix
-            dalpha = (dldw * s_excl - q / om) * include
+            rgb3 = featw[ROW_R:ROW_B + 1]                      # (3, chunk)
 
-            capped = raw > ALPHA_MAX
-            live = gate & (~capped) & live_lane
-            dalpha = jnp.where(live, dalpha, 0.0)
-            dpower = dalpha * alpha
+            # ---- half B first (reverse order within the block) ----
+            @pl.when((t1 < num_tiles) & (t1 != later_t))
+            def _initB():
+                gB = gbuf[slot, 1]
+                qcarry[0, :] = gB[3, :] * gB[NCONTRIB_ROW, :]
 
-            # All nine per-splat reductions over the 256 pixels ride the
-            # MXU: moments of dpower against the pixel monomial basis
-            # (tile-local coords, same basis as the forward form) plus the
-            # color-gradient contraction against w. The dx/dy polynomials
-            # are then recovered per lane from the moments:
+            sB_in = ckpt_ref[0, 1, :]
+            wB, omB, inclB, dldwB, sumB, sufB, sexB = half_grads(
+                gbuf.at[slot, 1], alpha_t[half:], sB_in, rgb3[:, half:])
+            qB = qcarry[0, :][None, :] + sufB
+            dalphaB = (dldwB * sexB - qB / omB) * inclB
+
+            @pl.when(t1 == t0)
+            def _carryB():
+                qcarry[0, :] += sumB
+
+            @pl.when((t0 < num_tiles) & (t0 != t1))
+            def _initA():
+                gA = gbuf[slot, 0]
+                qcarry[0, :] = gA[3, :] * gA[NCONTRIB_ROW, :]
+
+            sA_in = ckpt_ref[0, 0, :]
+            wA, omA, inclA, dldwA, sumA, sufA, sexA = half_grads(
+                gbuf.at[slot, 0], alpha_t[:half], sA_in, rgb3[:, :half])
+            qA = qcarry[0, :][None, :] + sufA
+            dalphaA = (dldwA * sexA - qA / omA) * inclA
+            qcarry[0, :] += sumA
+
+            # ---- assemble per-lane gradient rows for the whole block ----
+            dalpha_t = jnp.concatenate([dalphaA, dalphaB], axis=0)
+            dalpha_t = jnp.where(glive, dalpha_t, 0.0)
+            dpower_t = dalpha_t * alpha_t                      # (chunk, PIX)
+
+            # All nine per-splat reductions over the PIX pixels ride the MXU:
+            # moments of dpower against the pixel monomial basis (tile-local
+            # coords, same basis as the forward form) plus the color-gradient
+            # contraction against w. Both contract the PIXEL axis, so the
+            # results land lane-oriented (8/3, chunk) with no transposes.
+            # The dx/dy polynomials are then recovered per lane from the
+            # moments:
             #   sum_p dpower dx      = x R0 - R1   (dx = x - px)
             #   sum_p dpower dx^2    = x^2 R0 - 2 x R1 + R3 , etc.
             # d_op = sum dalpha e = sum dpower / op (alpha = op e on every
             # live lane; both masks zero the rest).
-            basis = _pix_basis()                              # (PIX, 8)
             mom = jax.lax.dot_general(
-                basis, dpower, (((0,), (0,)), ((), ())),
+                _pix_basis(), dpower_t, (((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)           # (8, chunk)
-            cw = jax.lax.dot_general(
-                g8, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (8, chunk)
-            _, x, y = _lane_quad(feat, tile_x, tile_y)
-            ca, cb, cc = feat[ROW_CA], feat[ROW_CB], feat[ROW_CC]
+            gA3 = gbuf[slot, 0][0:3, :]
+            gB3 = gbuf[slot, 1][0:3, :]
+            cwA = jax.lax.dot_general(
+                gA3, wA, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (3, half)
+            cwB = jax.lax.dot_general(
+                gB3, wB, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cw = jnp.concatenate([cwA, cwB], axis=1)          # (3, chunk)
+            ca, cb, cc = featw[ROW_CA], featw[ROW_CB], featw[ROW_CC]
             r0, r1, r2, r3, r4, r5 = (mom[0], mom[1], mom[2], mom[3],
                                       mom[4], mom[5])
-            sdx = x * r0 - r1
-            sdy = y * r0 - r2
-            op_safe = jnp.maximum(feat[ROW_OP], 1e-12)
+            xl = x[0]
+            yl = y[0]
+            sdx = xl * r0 - r1
+            sdy = yl * r0 - r2
+            op_safe = jnp.maximum(featw[ROW_OP], 1e-12)
             zero = jnp.zeros((chunk,), jnp.float32)
             dpart_ref[...] = jnp.stack([
                 -(ca * sdx + cb * sdy),
                 -(cc * sdy + cb * sdx),
-                -0.5 * (x * x * r0 - 2.0 * x * r1 + r3),
-                -(x * y * r0 - x * r2 - y * r1 + r4),
-                -0.5 * (y * y * r0 - 2.0 * y * r2 + r5),
+                -0.5 * (xl * xl * r0 - 2.0 * xl * r1 + r3),
+                -(xl * yl * r0 - xl * r2 - yl * r1 + r4),
+                -0.5 * (yl * yl * r0 - 2.0 * yl * r2 + r5),
                 r0 / op_safe,
                 cw[0], cw[1], cw[2],
                 zero, zero, zero, zero, zero, zero, zero,
             ])
-
-            qcarry[0, :] += chunk_sum
-
-        @pl.when(~live_blk)
-        def _pad_block():
-            dpart_ref[...] = jnp.zeros_like(dpart_ref)
 
     return kernel
 
@@ -539,10 +741,11 @@ def blend_sorted_pallas(feat_sortedT: jax.Array, block_tile: jax.Array,
     """Flat-grid ragged blend over the SORTED pair buffer.
 
     feat_sortedT: (FEAT, m_pad) sorted, tile-grouped, depth-ordered pair
-        features, padded by at least `chunk` columns past the live range
+        features, padded by at least 2*chunk columns past the live range
         (padding may be garbage — it is never unmasked).
-    block_tile / aligned_starts / counts: aligned-layout bookkeeping
-        (blocks are aligned-domain; reads are sorted-domain).
+    block_tile: (p_cap // (chunk // 2) + 1,) owning tile per aligned
+        HALF-chunk (64-lane granule); num_tiles = sentinel.
+    aligned_starts / counts: half-aligned layout bookkeeping.
     starts: (num_tiles + 1,) sorted-domain tile ranges.
     sorted_shift: sorted position -> aligned offset (backward map).
     Returns (color (T, 3, PIX), final_t (T, PIX), n_contrib (T, PIX)).
@@ -559,33 +762,47 @@ def _sorted_fwd_impl(feat_sortedT, block_tile, aligned_starts, starts,
     f_rows, m_pad = feat_sortedT.shape
     assert f_rows == FEAT and m_pad % chunk == 0, (f_rows, m_pad, chunk)
     pb = p_cap // chunk
+    half = chunk // 2
     kernel = _make_sorted_fwd_kernel(grid_x, chunk, num_tiles, m_pad,
                                      with_contrib)
+
+    def out_spec(parity):
+        # sentinel halves (ht == num_tiles) land on a dedicated dump row
+        # so their end-of-grid buffer writeback can never clobber a real
+        # tile's row (the last live tile may only own the OTHER parity)
+        return pl.BlockSpec(
+            (1, 8, PIX),
+            lambda b, ht, *s: (ht[2 * b + parity], 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(pb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=(
-            pl.BlockSpec((1, 8, PIX),
-                         lambda b, btile, *s: (jnp.minimum(btile[b], num_tiles - 1), 0, 0)),
-            pl.BlockSpec((1, 1, PIX), lambda b, *s: (b, 0, 0)),
+            out_spec(0),
+            out_spec(1),
+            pl.BlockSpec((1, 2, PIX), lambda b, *s: (b, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((8, PIX), jnp.float32),
-            pltpu.VMEM((2, FEAT, 2 * chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 2, FEAT, 2 * chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    out8, ckpt = pl.pallas_call(
+    zeros_out = jnp.zeros((num_tiles + 1, 8, PIX), jnp.float32)
+    outA, outB, ckpt = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, 8, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((pb, 1, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles + 1, 8, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles + 1, 8, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((pb, 2, PIX), jnp.float32),
         ),
+        input_output_aliases={5: 0, 6: 1},
     )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
-      counts.astype(jnp.int32), starts.astype(jnp.int32), feat_sortedT)
+      counts.astype(jnp.int32), starts.astype(jnp.int32), feat_sortedT,
+      zeros_out, zeros_out)
+    out8 = outA[:num_tiles] + outB[:num_tiles]
 
     has = counts > 0
     color = jnp.where(has[:, None, None], out8[:, 0:3], 0.0)
@@ -626,15 +843,15 @@ def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # feat (streamed by DMA)
             pl.BlockSpec(memory_space=pl.ANY),   # g8 (streamed by DMA)
-            pl.BlockSpec((1, 1, PIX), lambda b, *s: (pl.num_programs(0) - 1 - b, 0, 0)),
+            pl.BlockSpec((1, 2, PIX), lambda b, *s: (pl.num_programs(0) - 1 - b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((FEAT, chunk), rev),
         scratch_shapes=[
             pltpu.VMEM((8, PIX), jnp.float32),
-            pltpu.VMEM((2, FEAT, 2 * chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, 8, PIX), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 2, FEAT, 2 * chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 2, 8, PIX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     dpartT = pl.pallas_call(

@@ -73,7 +73,7 @@ class BgTrainer:
         return RasterizerConfig(
             width=self.ds.width, height=self.ds.height,
             max_per_tile=self.rt.max_per_tile,
-            max_tiles_per_gaussian=self.rt.max_tiles_per_gaussian,
+            
             blend_chunk=self.rt.blend_chunk,
             use_pallas=self.rt.use_pallas and jax.default_backend() == "tpu")
 

@@ -92,7 +92,7 @@ def test_bg_training_composite(tmp_path):
     cols = rng.uniform(0, 1, (100, 3)).astype(np.float32)
     opt = OptimizationParams(densify_from_iter=20, densify_until_iter=80,
                              opacity_reset_interval=10_000)
-    rt = RuntimeParams(max_per_tile=128, max_tiles_per_gaussian=16,
+    rt = RuntimeParams(max_per_tile=128, 
                        use_pallas=False, capacity=512)
     tr = BgTrainer(fg_p, fg_b, pts, cols, ds, opt, rt, spatial_lr_scale=3.0,
                    remove_neighbor_iterations=(30,))

@@ -36,7 +36,7 @@ def _make_dataset(root, n_cams=10):
         features_dc=jnp.asarray(sh_utils.rgb_to_sh(cols))[:, None, :].astype(jnp.float32),
         opacity=jnp.full_like(p.opacity, 4.0))
     cfg = RasterizerConfig(width=W, height=H, max_per_tile=256,
-                           max_tiles_per_gaussian=32, use_pallas=False)
+                           use_pallas=False)
 
     os.makedirs(os.path.join(root, "train"), exist_ok=True)
     frames = []
@@ -94,8 +94,7 @@ def test_cli_pipeline(tmp_path):
         "--densification_interval", "40",
         "--opacity_reset_interval", "100000",
         "--test_iterations", "120", "--save_iterations", "120",
-        "--max_per_tile", "256", "--max_tiles_per_gaussian", "16",
-    ])
+        "--max_per_tile", "256"])
     ply = os.path.join(model, "point_cloud", "iteration_120",
                        "point_cloud.ply")
     assert os.path.exists(ply)
@@ -122,8 +121,7 @@ def test_cli_pipeline(tmp_path):
     out_dir = str(tmp_path / "edit_out")
     cli_edit.main(["-m", model, "--gaussian_ply", ply,
                    "--origin_mesh", mesh_path, "--deformed_mesh", deformed,
-                   "--out", out_dir, "--max_per_tile", "256",
-                   "--max_tiles_per_gaussian", "16"])
+                   "--out", out_dir, "--max_per_tile", "256"])
     assert len(os.listdir(out_dir)) == 1
 
     # orbit playback (create_circle_cam analog)
@@ -131,8 +129,7 @@ def test_cli_pipeline(tmp_path):
     cli_edit.main(["-m", model, "--gaussian_ply", ply,
                    "--origin_mesh", mesh_path, "--deformed_mesh", deformed,
                    "--out", orbit_dir, "--orbit", "3",
-                   "--max_per_tile", "256",
-                   "--max_tiles_per_gaussian", "16"])
+                   "--max_per_tile", "256"])
     assert len(os.listdir(orbit_dir)) == 3
 
 
@@ -167,3 +164,13 @@ def test_normalize_roundtrip_and_inspect(tmp_path, capsys):
     inspect_ply.main([ply_path, ply_path])
     out = capsys.readouterr().out
     assert "mesh-bound" in out and "MATCH" in out
+
+
+def test_full_eval_wires_up(tmp_path):
+    """full_eval parses args and resolves its CLI imports (regression: an
+    earlier revision shipped with the import statement truncated)."""
+    from gaussianmesh_tpu.cli import full_eval
+    full_eval.main(["--base", str(tmp_path), "--scenes", "s1",
+                    "--meshes", "m1.obj", "--output",
+                    str(tmp_path / "out"), "--skip_training",
+                    "--skip_rendering", "--skip_metrics"])

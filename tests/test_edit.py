@@ -94,7 +94,7 @@ def test_scene_editor_renders_deformed(tmp_path):
     editor = SceneEditor()
     editor.add_object(ply_path, mesh_path, name="obj")
     cfg = RasterizerConfig(width=64, height=64, max_per_tile=128,
-                           max_tiles_per_gaussian=16, use_pallas=False)
+                           use_pallas=False)
     cam = look_at_camera(64, 64, distance=3.5)
 
     out0 = editor.render(cam, cfg)

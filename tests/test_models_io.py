@@ -47,7 +47,7 @@ def test_mesh_model_renders():
     cam = look_at_camera(64, 64, distance=3.5)
     arrays = render_mod.mesh_model_arrays(p, b, cam, sh_degree=0)
     cfg = RasterizerConfig(width=64, height=64, max_per_tile=128,
-                           max_tiles_per_gaussian=16, use_pallas=False)
+                           use_pallas=False)
     out = render_mod.render(arrays, cam, cfg, jnp.zeros(3))
     img = np.asarray(out.color)
     assert img.max() > 0.05  # something rendered

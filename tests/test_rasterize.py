@@ -15,7 +15,7 @@ BG = jnp.asarray([0.15, 0.25, 0.35])
 
 def _cfg(use_pallas: bool, **kw):
     base = dict(width=W, height=H, max_per_tile=256,
-                max_tiles_per_gaussian=64, blend_chunk=128,
+                blend_chunk=128,
                 use_pallas=use_pallas)
     base.update(kw)
     return RasterizerConfig(**base)
@@ -118,7 +118,7 @@ def test_finite_difference_check():
     cam = look_at_camera(32, 32)
     sc = random_gaussians(40, seed=9)
     cfg = RasterizerConfig(width=32, height=32, max_per_tile=128,
-                           max_tiles_per_gaussian=16, use_pallas=False)
+                           use_pallas=False)
 
     def f(opacity, rgb):
         out = rasterize(sc["means3d"], sc["cov6"], opacity, rgb, BG, cam, cfg)
@@ -141,7 +141,7 @@ def test_gradients_finite_with_dead_capacity_rows():
                                       capacity=128, vertex_capacity=128)
     cam = look_at_camera(32, 32, distance=3.0)
     cfg = RasterizerConfig(width=32, height=32, max_per_tile=64,
-                           max_tiles_per_gaussian=8, use_pallas=False)
+                           use_pallas=False)
 
     def loss(p):
         arrays = render_mod.mesh_model_arrays(p, b, cam, 3)
@@ -165,10 +165,12 @@ def test_pair_overflow_clamps_counts_to_granted_blocks():
     from gaussianmesh_tpu.ops import binning
 
     num_tiles, chunk = 8, 128
-    # 6 live tiles x 1 pair -> aligned demand 6*128, capacity only 4*128
+    half = chunk // 2
+    # 6 live tiles x 1 pair -> aligned demand 6 half-granules (6*64),
+    # capacity only 4 half-granules (2*128)
     sorted_tile = jnp.asarray([0, 1, 2, 4, 5, 7], jnp.int32)
     sorted_gid = jnp.arange(6, dtype=jnp.int32)
-    p_cap = 4 * chunk
+    p_cap = 2 * chunk
     tiles = binning.finish_tile_lists(sorted_tile, sorted_gid,
                                       num_valid=jnp.int32(6),
                                       rect_overflow=jnp.int32(0),
@@ -177,14 +179,15 @@ def test_pair_overflow_clamps_counts_to_granted_blocks():
     counts = np.asarray(tiles.counts)
     astarts = np.asarray(tiles.aligned_starts)
     block_tile = np.asarray(tiles.block_tile)
-    assert int(tiles.pair_overflow) == 2 * chunk
+    assert int(tiles.pair_overflow) == 2 * half
     # granted tiles keep their pair; starved tiles are clamped to zero
     np.testing.assert_array_equal(counts[[0, 1, 2, 4]], 1)
     np.testing.assert_array_equal(counts[[3, 5, 6, 7]], 0)
-    # invariant: every tile with count>0 owns at least one aligned block
+    # invariant: every tile with count>0 owns at least one aligned
+    # half-granule (block_tile is per-half)
     for t in range(num_tiles):
         if counts[t] > 0:
-            assert (block_tile[:p_cap // chunk] == t).any(), t
+            assert (block_tile[:p_cap // half] == t).any(), t
         assert astarts[t + 1] - astarts[t] >= counts[t]
 
 
@@ -199,7 +202,7 @@ def test_pair_overflow_render_stays_finite_and_reported():
     cam = look_at_camera(W, H)
     sc = random_gaussians(400, seed=3)
     cfg = TinyPairCap(width=W, height=H, max_per_tile=256,
-                      max_tiles_per_gaussian=64, blend_chunk=128,
+                      blend_chunk=128,
                       use_pallas=False)
     out = rasterize(sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"],
                     BG, cam, cfg)

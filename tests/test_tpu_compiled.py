@@ -43,10 +43,13 @@ def test_compiled_forward_matches_jnp(small_scene):
     args = (sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"], BG, cam)
     out_p = rasterize(*args, RasterizerConfig(use_pallas=True, **cfg))
     out_j = rasterize(*args, RasterizerConfig(use_pallas=False, **cfg))
+    # 5e-5: the kernel folds opacity into the exponent
+    # (exp(power + log op) vs op * exp(power)) and evaluates the
+    # quadratic as an MXU contraction — same math, different rounding
     np.testing.assert_allclose(np.asarray(out_p.color),
-                               np.asarray(out_j.color), atol=3e-5)
+                               np.asarray(out_j.color), atol=5e-5)
     np.testing.assert_allclose(np.asarray(out_p.final_t),
-                               np.asarray(out_j.final_t), atol=3e-5)
+                               np.asarray(out_j.final_t), atol=5e-5)
 
 
 def test_compiled_grads_match_jnp(small_scene):

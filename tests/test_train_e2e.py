@@ -40,7 +40,7 @@ def _teacher_images(cams):
         features_dc=jnp.asarray(sh_utils.rgb_to_sh(cols))[:, None, :].astype(jnp.float32),
         opacity=jnp.full_like(p.opacity, 4.0))  # near-opaque
     cfg = RasterizerConfig(width=W, height=H, max_per_tile=256,
-                           max_tiles_per_gaussian=32, use_pallas=False)
+                           use_pallas=False)
     imgs = []
     for cam in cams:
         arrays = render_mod.mesh_model_arrays(p, b, cam, sh_degree=0)
@@ -71,7 +71,7 @@ def test_train_fits_synthetic_scene():
         densification_interval=60, densify_from_iter=50,
         densify_until_iter=220, opacity_reset_interval=10_000,
         position_lr_max_steps=400)
-    rt = RuntimeParams(max_per_tile=256, max_tiles_per_gaussian=16,
+    rt = RuntimeParams(max_per_tile=256, 
                        use_pallas=False)
     trainer = MeshTrainer(v, f, ds, opt, rt, spatial_lr_scale=3.2,
                           init_target=300, max_sh_degree=1)
