@@ -47,12 +47,21 @@ class SplitResult(NamedTuple):
     dropped: jax.Array            # () int32 — selected but no room
 
 
-@functools.partial(jax.jit, static_argnames=("n_children", "max_split"))
-def densify_and_split(params: MeshGaussianParams, binding: MeshBinding,
-                      mesh_v: MeshVertices, mu: MeshGaussianParams,
-                      nu: MeshGaussianParams, state: MeshGaussianState,
-                      grads_avg: jax.Array, threshold: float,
-                      n_children: int, max_split: int) -> SplitResult:
+class _Selection(NamedTuple):
+    """Parent selection + free-slot plan (pure function of binding/grads)."""
+    sel_idx: jax.Array        # (max_split,) candidate rows, grad-descending
+    parent_ok: jax.Array      # (max_split,) selected AND has room
+    free_idx: jax.Array       # (max_split * nch,) destination slots
+    n_split: jax.Array        # () int32
+    dropped: jax.Array        # () int32
+
+
+def _select_parents(binding: MeshBinding, grads_avg: jax.Array,
+                    threshold, n_children: int, max_split: int,
+                    vroom) -> _Selection:
+    """Pick up to max_split highest-gradient parents with room for their
+    children (free Gaussian slots) and their 3 midpoint vertices
+    (`vroom` = vertex slots available to THIS selection)."""
     c = binding.alive.shape[0]
     nch = n_children
 
@@ -72,23 +81,54 @@ def densify_and_split(params: MeshGaussianParams, binding: MeshBinding,
 
     # parent j is split only if all nch destination slots exist (free_idx
     # sorted ascending, so checking the last child's slot suffices) AND
-    # its 3 midpoint vertices fit the vertex buffer — a shortage of either
+    # its 3 midpoint vertices fit the vertex room — a shortage of either
     # shows up in `dropped`, which the trainer answers by growing BOTH
     # buffers and retrying
     last_slot = free_idx[jnp.arange(max_split) * nch + (nch - 1)]
-    vcap = mesh_v.v.shape[0]
-    vertex_ok = (mesh_v.count + 3 * (jnp.arange(max_split) + 1)) <= vcap
+    vertex_ok = 3 * (jnp.arange(max_split) + 1) <= vroom
     parent_ok = sel_ok & (last_slot < c) & vertex_ok
     n_split = jnp.sum(parent_ok)
     dropped = jnp.sum(sel_ok) - n_split
+    return _Selection(sel_idx=sel_idx, parent_ok=parent_ok,
+                      free_idx=free_idx, n_split=n_split, dropped=dropped)
+
+
+class _SplitApplied(NamedTuple):
+    params: MeshGaussianParams
+    binding: MeshBinding
+    mu: MeshGaussianParams
+    nu: MeshGaussianParams
+    state: MeshGaussianState
+    mids: jax.Array           # (max_split * 3, 3) midpoint vertices
+    vdest: jax.Array          # (max_split * 3,) GLOBAL vertex-pool slots
+                              # (vertex_base-offset); _VSENT when unused
+
+
+_VSENT = jnp.int32(1 << 30)   # vertex scatter sentinel (mode="drop")
+
+
+def _apply_split(params: MeshGaussianParams, binding: MeshBinding,
+                 mu: MeshGaussianParams, nu: MeshGaussianParams,
+                 sel: _Selection, n_children: int,
+                 vertex_base) -> _SplitApplied:
+    """Scatter the selected splits into the (local) capacity arrays.
+
+    `vertex_base` is the GLOBAL vertex-pool id of this call's first new
+    vertex — mesh_v.count for the single-table path; under Gaussian-table
+    sharding it comes from an exclusive cross-shard scan of n_split so
+    shards append to disjoint global ranges. The vertex COORDINATES are
+    returned (mids/vdest) instead of scattered, because the pool may be a
+    global array the caller owns."""
+    c = binding.alive.shape[0]
+    nch = n_children
 
     # --- child geometry ---------------------------------------------------
-    k_ids = jnp.arange(max_split * nch)
+    k_ids = jnp.arange(sel.sel_idx.shape[0] * nch)
     pj = k_ids // nch                                  # parent rank
     cid = k_ids % nch                                  # child index
-    parent = sel_idx[pj]
-    ok = parent_ok[pj]
-    dest = jnp.where(ok, free_idx[k_ids], c)
+    parent = sel.sel_idx[pj]
+    ok = sel.parent_ok[pj]
+    dest = jnp.where(ok, sel.free_idx[k_ids], c)
 
     pv1 = binding.vertex1[parent]
     pv2 = binding.vertex2[parent]
@@ -97,8 +137,8 @@ def densify_and_split(params: MeshGaussianParams, binding: MeshBinding,
     w = jnp.asarray(_CHILD_W)[cid]                     # (K, 3vert, 3corner)
     child = jnp.einsum("kvc,kcd->kvd", w, corners)     # (K, 3vert, 3)
 
-    # new vertices: 3 per split parent, prefix-packed after mesh_v.count
-    vbase = mesh_v.count + 3 * pj
+    # new vertices: 3 per split parent, prefix-packed after vertex_base
+    vbase = vertex_base + 3 * pj
     code = jnp.asarray(_CHILD_IDX_CODE)[cid]          # (K, 3)
     parent_vidx = binding.vertex_index[parent]
     child_vidx = jnp.where(code < 3,
@@ -120,7 +160,7 @@ def densify_and_split(params: MeshGaussianParams, binding: MeshBinding,
         opacity=scat(params.opacity, params.opacity[parent]),
     )
 
-    kill = jnp.zeros(c, bool).at[sel_idx].set(parent_ok, mode="drop")
+    kill = jnp.zeros(c, bool).at[sel.sel_idx].set(sel.parent_ok, mode="drop")
     alive = (binding.alive & ~kill).at[dest].set(True, mode="drop")
 
     new_binding = MeshBinding(
@@ -139,19 +179,35 @@ def densify_and_split(params: MeshGaussianParams, binding: MeshBinding,
                       (pv2 + pv3) * 0.5], axis=1)      # (K, 3, 3)
     pj_first = (cid == 0) & ok
     vdest = jnp.where(pj_first[:, None],
-                      vbase[:, None] + jnp.arange(3)[None, :],
-                      mesh_v.v.shape[0])
-    new_v = mesh_v.v.at[vdest.reshape(-1)].set(
-        mids.reshape(-1, 3), mode="drop")
-    new_mesh_v = MeshVertices(v=new_v, count=mesh_v.count + 3 * n_split)
+                      vbase[:, None] + jnp.arange(3)[None, :], _VSENT)
+    sel3 = jnp.arange(sel.sel_idx.shape[0]) * nch      # one row per parent
+    mids_flat = mids[sel3].reshape(-1, 3)
+    vdest_flat = vdest[sel3].reshape(-1)
 
     new_mu = jax.tree.map(lambda m: m.at[dest].set(0.0, mode="drop"), mu)
     new_nu = jax.tree.map(lambda m: m.at[dest].set(0.0, mode="drop"), nu)
 
+    return _SplitApplied(params=new_params, binding=new_binding,
+                         mu=new_mu, nu=new_nu, state=empty_state(c),
+                         mids=mids_flat, vdest=vdest_flat)
+
+
+@functools.partial(jax.jit, static_argnames=("n_children", "max_split"))
+def densify_and_split(params: MeshGaussianParams, binding: MeshBinding,
+                      mesh_v: MeshVertices, mu: MeshGaussianParams,
+                      nu: MeshGaussianParams, state: MeshGaussianState,
+                      grads_avg: jax.Array, threshold: float,
+                      n_children: int, max_split: int) -> SplitResult:
+    sel = _select_parents(binding, grads_avg, threshold, n_children,
+                          max_split, vroom=mesh_v.v.shape[0] - mesh_v.count)
+    app = _apply_split(params, binding, mu, nu, sel, n_children,
+                       vertex_base=mesh_v.count)
+    new_v = mesh_v.v.at[app.vdest].set(app.mids, mode="drop")
+    new_mesh_v = MeshVertices(v=new_v, count=mesh_v.count + 3 * sel.n_split)
     return SplitResult(
-        params=new_params, binding=new_binding, mesh_v=new_mesh_v,
-        mu=new_mu, nu=new_nu, state=empty_state(c),
-        n_split=n_split, dropped=dropped,
+        params=app.params, binding=app.binding, mesh_v=new_mesh_v,
+        mu=app.mu, nu=app.nu, state=app.state,
+        n_split=sel.n_split, dropped=sel.dropped,
     )
 
 
@@ -161,6 +217,74 @@ def split_all_for_init(params, binding, mesh_v, mu, nu, state,
     grads = jnp.where(binding.alive, 1.0, 0.0)
     return densify_and_split(params, binding, mesh_v, mu, nu, state,
                              grads, 0.5, 4, max_split)
+
+
+def densify_and_split_gauss_sharded(
+        mesh, params: MeshGaussianParams, binding: MeshBinding,
+        mesh_v: MeshVertices, mu: MeshGaussianParams,
+        nu: MeshGaussianParams, state: MeshGaussianState,
+        grads_avg: jax.Array, threshold: float, n_children: int,
+        max_split_per_shard: int, axis_name: str = "shard") -> SplitResult:
+    """Per-shard masked compaction for the Gaussian-table-sharded regime.
+
+    Each shard selects its own top-k parents and compacts into its OWN
+    free slots — no cross-shard gather of the table, so the pass scales
+    like the sharded train step (O(C/D) per device) instead of pulling
+    the whole table through global top_k/nonzero. Only two cross-shard
+    exchanges happen, both O(D): an all_gather of per-shard n_split (the
+    exclusive scan assigning each shard a disjoint GLOBAL vertex-pool
+    range, so `vertex_index` stays globally addressed and save_mesh needs
+    no remap) and the psum of the overflow counters. The vertex pool
+    itself stays replicated — it is mesh-sized (vertices ~ faces/2), two
+    orders smaller than the Gaussian table, and written only here.
+
+    Selection parity vs the single-table `densify_and_split`: identical
+    whenever no per-shard cap binds — the reference semantics
+    (scene/mesh_based_gaussian_model.py:504-563) select by threshold, and
+    a threshold test distributes over shards. Per-shard vertex room is
+    budgeted conservatively at (vcap - count) / D, so a shard can report
+    `dropped` while global room remains; callers grow and retry exactly
+    as in the single-table path.
+    """
+    d = mesh.shape[axis_name]
+    c = binding.alive.shape[0]
+    assert c % d == 0, (c, d)
+    # top_k needs k <= local rows; callers may pass the global budget
+    max_split_per_shard = min(max_split_per_shard, c // d)
+    vcap = mesh_v.v.shape[0]
+    from jax.sharding import PartitionSpec as P
+
+    def body(p, b, mu_, nu_, g, count):
+        my = jax.lax.axis_index(axis_name)
+        sel = _select_parents(b, g, threshold, n_children,
+                              max_split_per_shard,
+                              vroom=(vcap - count) // d)
+        all_n = jax.lax.all_gather(sel.n_split, axis_name)       # (D,)
+        base = count + 3 * jnp.sum(
+            jnp.where(jnp.arange(d) < my, all_n, 0))
+        app = _apply_split(p, b, mu_, nu_, sel, n_children,
+                           vertex_base=base)
+        n_total = jnp.sum(all_n)
+        dropped = jax.lax.psum(sel.dropped, axis_name)
+        return (app.params, app.binding, app.mu, app.nu, app.state,
+                app.mids, app.vdest, n_total, dropped)
+
+    shard = P(axis_name)
+    out = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(shard, shard, shard, shard, shard, P()),
+        out_specs=(shard, shard, shard, shard, shard, shard, shard,
+                   P(), P()),
+        check_vma=False,
+    )(params, binding, mu, nu, grads_avg, mesh_v.count)
+    (new_params, new_binding, new_mu, new_nu, new_state,
+     mids, vdest, n_split, dropped) = out
+
+    new_v = mesh_v.v.at[vdest].set(mids, mode="drop")
+    new_mesh_v = MeshVertices(v=new_v, count=mesh_v.count + 3 * n_split)
+    return SplitResult(params=new_params, binding=new_binding,
+                       mesh_v=new_mesh_v, mu=new_mu, nu=new_nu,
+                       state=new_state, n_split=n_split, dropped=dropped)
 
 
 def reset_opacity(params):

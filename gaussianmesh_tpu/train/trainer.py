@@ -152,9 +152,38 @@ class MeshTrainer:
                 "shard_gaussians is exclusive with the (data, tile) mesh"
             self.gauss_mesh = Mesh(
                 np.asarray(jax.devices()[:rt.shard_gaussians]), ("shard",))
+            self._rebalance_gauss_shards()
         elif rt.data_axis * rt.tile_axis > 1:
             from gaussianmesh_tpu.parallel import sharding as psharding
             self.device_mesh = psharding.make_mesh(rt.data_axis, rt.tile_axis)
+
+    def _rebalance_gauss_shards(self):
+        """Spread alive rows evenly across the D contiguous shard ranges —
+        init subdivision packs them as a prefix, which would idle every
+        shard but the first. A pure row permutation: Gaussian rows carry
+        no positional meaning (vertex_index is globally addressed), and
+        the per-shard densifier keeps each shard's children in its own
+        free slots afterwards."""
+        d = self.gauss_mesh.shape["shard"]
+        c = self.binding.alive.shape[0]
+        assert c % d == 0, (c, d)
+        alive = np.asarray(self.binding.alive)
+        order = np.concatenate([np.flatnonzero(alive), np.flatnonzero(~alive)])
+        sl = c // d
+        k = np.arange(c)
+        src = np.empty(c, np.int64)
+        src[(k % d) * sl + k // d] = order   # deal row k to shard k % d
+        src_j = jnp.asarray(src)
+
+        def take(x):
+            return x[src_j] if (x.ndim > 0 and x.shape[0] == c) else x
+
+        self.params = jax.tree.map(take, self.params)
+        self.binding = jax.tree.map(take, self.binding)
+        self.state = jax.tree.map(take, self.state)
+        mu, nu = self._opt_moments()
+        self._set_opt_moments(jax.tree.map(take, mu),
+                              jax.tree.map(take, nu))
 
     # ------------------------------------------------------------------ opt
     def _build_optimizer(self):
@@ -209,9 +238,20 @@ class MeshTrainer:
             # capacities changed, so stale grads/moments would shape-clash
             mu, nu = self._opt_moments()
             grads = densify_mod.grads_avg(self.state)
-            res = densify_mod.densify_and_split(
-                self.params, self.binding, self.mesh_v, mu, nu, self.state,
-                grads, self.opt.densify_grad_threshold, 5, max_split)
+            if self.gauss_mesh is not None:
+                # per-shard compaction (O(C/D) per device); the per-shard
+                # cap gets the same global budget so a skewed shard can
+                # still split as much as the single-table path would
+                res = densify_mod.densify_and_split_gauss_sharded(
+                    self.gauss_mesh, self.params, self.binding, self.mesh_v,
+                    mu, nu, self.state, grads,
+                    self.opt.densify_grad_threshold, 5,
+                    max_split_per_shard=max_split)
+            else:
+                res = densify_mod.densify_and_split(
+                    self.params, self.binding, self.mesh_v, mu, nu,
+                    self.state, grads, self.opt.densify_grad_threshold, 5,
+                    max_split)
             if int(res.dropped) == 0:
                 self._apply_split(res)
                 return
@@ -225,7 +265,7 @@ class MeshTrainer:
         return RasterizerConfig(
             width=self.ds.width, height=height or self.ds.height,
             max_per_tile=self.rt.max_per_tile,
-            max_tiles_per_gaussian=self.rt.max_tiles_per_gaussian,
+            
             blend_chunk=self.rt.blend_chunk,
             use_pallas=self.rt.use_pallas and jax.default_backend() == "tpu")
 

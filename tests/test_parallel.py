@@ -34,7 +34,7 @@ def setup():
 
 def _cfg():
     return RasterizerConfig(width=W, height=H, max_per_tile=128,
-                            max_tiles_per_gaussian=16, use_pallas=False)
+                            use_pallas=False)
 
 
 def test_sharded_step_matches_single_chip(setup):
@@ -151,7 +151,7 @@ def test_mesh_trainer_multichip(setup):
     opt = OptimizationParams(densify_from_iter=5, densify_until_iter=25,
                              densification_interval=10,
                              opacity_reset_interval=10_000)
-    rt = RuntimeParams(max_per_tile=128, max_tiles_per_gaussian=16,
+    rt = RuntimeParams(max_per_tile=128, 
                        use_pallas=False, data_axis=2, tile_axis=4)
     tr = MeshTrainer(v, f, ds, opt, rt, spatial_lr_scale=3.2,
                      init_target=100, max_sh_degree=1)
@@ -327,7 +327,7 @@ def test_mesh_trainer_gauss_sharded(setup):
     opt = OptimizationParams(densify_from_iter=5, densify_until_iter=25,
                              densification_interval=10,
                              opacity_reset_interval=10_000)
-    rt = RuntimeParams(max_per_tile=128, max_tiles_per_gaussian=16,
+    rt = RuntimeParams(max_per_tile=128, 
                        use_pallas=False, shard_gaussians=4)
     tr = MeshTrainer(v, f, ds, opt, rt, spatial_lr_scale=3.2,
                      init_target=100, max_sh_degree=1)
@@ -376,3 +376,92 @@ def test_gauss_sharded_send_overflow_reported():
         out_specs=P(), check_vma=False))
     overflow = int(fn(sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"]))
     assert overflow > 0                  # starved capacity must be visible
+
+
+def test_gauss_sharded_densify_matches_single_table():
+    """Per-shard compaction == single-table densify when no per-shard cap
+    binds: same n_split, same alive count, same vertex growth, and the
+    same MULTISET of children (row placement differs by design)."""
+    from jax.sharding import Mesh
+    from gaussianmesh_tpu.train import densify as densify_mod
+    from gaussianmesh_tpu.train import optim as optim_mod
+    from tests.meshes import icosphere
+
+    d_ax = 4
+    mesh = Mesh(np.asarray(jax.devices()[:d_ax]), ("shard",))
+    v, f = icosphere(1)                      # 80 faces
+    p, b, mv, st = mgs.create_from_mesh(jnp.asarray(v), jnp.asarray(f),
+                                        capacity=256, vertex_capacity=1024)
+    opt = OptimizationParams()
+    tx = optim_mod.make_optimizer(optim_mod.mesh_lr_tree_fn(opt, 1.0))
+    mu, nu = tx.init(p).adam.mu, tx.init(p).adam.nu
+    mu = jax.tree.map(lambda x: x + 0.25, mu)    # nonzero, to see zeroing
+
+    # deal alive rows across shards the way the trainer does, then mark a
+    # known subset hot (spread over all shards)
+    alive = np.asarray(b.alive)
+    order = np.concatenate([np.flatnonzero(alive), np.flatnonzero(~alive)])
+    c = alive.shape[0]
+    src = np.empty(c, np.int64)
+    k = np.arange(c)
+    src[(k % d_ax) * (c // d_ax) + k // d_ax] = order
+    take = lambda x: x[jnp.asarray(src)] if x.ndim > 0 and x.shape[0] == c else x
+    p = jax.tree.map(take, p)
+    b = jax.tree.map(take, b)
+    mu = jax.tree.map(take, mu)
+    nu = jax.tree.map(take, nu)
+
+    rng = np.random.default_rng(5)
+    hot_rows = rng.choice(np.flatnonzero(np.asarray(b.alive)), size=12,
+                          replace=False)
+    grads = np.zeros(c, np.float32)
+    grads[hot_rows] = rng.uniform(1.0, 2.0, 12)
+    grads = jnp.asarray(grads)
+
+    res_g = densify_mod.densify_and_split(
+        p, b, mv, mu, nu, st, grads, 0.5, 5, max_split=64)
+    res_s = densify_mod.densify_and_split_gauss_sharded(
+        mesh, p, b, mv, mu, nu, st, grads, 0.5, 5, max_split_per_shard=64)
+
+    assert int(res_g.dropped) == 0 and int(res_s.dropped) == 0
+    assert int(res_s.n_split) == int(res_g.n_split) == 12
+    assert int(res_s.binding.alive.sum()) == int(res_g.binding.alive.sum())
+    assert int(res_s.mesh_v.count) == int(res_g.mesh_v.count)
+
+    def content(res):
+        """Sorted multiset of alive rows' (xyz, scaling, vertex coords)."""
+        al = np.asarray(res.binding.alive)
+        xyz = np.asarray(mgs.get_xyz(res.params, res.binding))[al]
+        sc = np.asarray(res.params.scaling)[al]
+        vs = np.stack([np.asarray(res.binding.vertex1)[al],
+                       np.asarray(res.binding.vertex2)[al],
+                       np.asarray(res.binding.vertex3)[al]], axis=1)
+        rows = np.concatenate([xyz, sc, vs.reshape(-1, 9)], axis=1)
+        return rows[np.lexsort(rows.T[::-1])]
+
+    np.testing.assert_allclose(content(res_s), content(res_g), atol=1e-6)
+
+    # new-vertex POOL content matches as a multiset (append order differs)
+    def new_verts(res):
+        lo, hi = int(mv.count), int(res.mesh_v.count)
+        arr = np.asarray(res.mesh_v.v)[lo:hi]
+        return arr[np.lexsort(arr.T[::-1])]
+
+    np.testing.assert_allclose(new_verts(res_s), new_verts(res_g), atol=1e-6)
+
+    # Adam moments zeroed at every child slot (fresh rows start clean)
+    child_rows = np.asarray(res_s.binding.alive) & ~np.asarray(b.alive)
+    assert np.all(np.asarray(res_s.mu.bc)[child_rows] == 0.0)
+
+    # vertex_index stays globally consistent: every alive row's vertex
+    # coords must equal the pool entries its indices point to
+    vi = np.asarray(res_s.binding.vertex_index)
+    al = np.asarray(res_s.binding.alive)
+    pool = np.asarray(res_s.mesh_v.v)
+    orig_v = np.asarray(v)
+    # (rows created at init reference the ORIGINAL mesh vertices, which
+    # occupy the pool prefix)
+    np.testing.assert_allclose(pool[: orig_v.shape[0]], orig_v, atol=0)
+    v1 = pool[vi[al, 0]]
+    np.testing.assert_allclose(v1, np.asarray(res_s.binding.vertex1)[al],
+                               atol=1e-6)

@@ -157,7 +157,7 @@ def test_densify_grow_retry_path():
         masks=None, width=w, height=h)
     v, f = icosphere(1)
     opt = OptimizationParams()
-    rt = RuntimeParams(max_per_tile=64, max_tiles_per_gaussian=8,
+    rt = RuntimeParams(max_per_tile=64, 
                        use_pallas=False)
     tr = MeshTrainer(v, f, ds, opt, rt, spatial_lr_scale=3.0,
                      init_target=300, max_sh_degree=0)
@@ -204,7 +204,7 @@ def test_checkpoint_resume_preserves_schedule_position(tmp_path):
         masks=None, width=w, height=h)
     v, f = icosphere(1)
     opt = OptimizationParams(densify_from_iter=10_000)
-    rt = RuntimeParams(max_per_tile=64, max_tiles_per_gaussian=8,
+    rt = RuntimeParams(max_per_tile=64, 
                        use_pallas=False)
 
     def make():
@@ -224,3 +224,29 @@ def test_checkpoint_resume_preserves_schedule_position(tmp_path):
     assert tr2.global_it == 12
     # params advanced from the restored state, with the restored key
     assert np.isfinite(np.asarray(tr2.params.bc)).all()
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax sharded checkpoint keeps values AND shardings across a
+    save/restore (the gauss-sharded regime's save path: no single-host
+    gather of the table)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from gaussianmesh_tpu.utils.checkpoint import (load_checkpoint_sharded,
+                                                   save_checkpoint_sharded)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("shard",))
+    sh = NamedSharding(mesh, P("shard"))
+    tree = {
+        "xyz": jax.device_put(jnp.arange(64.0).reshape(16, 4), sh),
+        "step": jnp.int32(7),
+    }
+    path = str(tmp_path / "ckpt")
+    save_checkpoint_sharded(path, tree)
+
+    template = {"xyz": jax.device_put(jnp.zeros((16, 4)), sh),
+                "step": jnp.int32(0)}
+    out = load_checkpoint_sharded(path, template)
+    np.testing.assert_array_equal(np.asarray(out["xyz"]),
+                                  np.asarray(tree["xyz"]))
+    assert int(out["step"]) == 7
+    assert out["xyz"].sharding.is_equivalent_to(sh, 2)
