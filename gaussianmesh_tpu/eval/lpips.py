@@ -67,7 +67,10 @@ def _features(x, weights):
 
 @functools.partial(jax.jit, static_argnames=())
 def _lpips_pair(img1, img2, weights):
-    # images (3, H, W) in [0, 1] -> [-1, 1]
+    # images (3, H, W) in [0, 1] -> [-1, 1]. (The reference's metrics.py:80
+    # feeds [0,1] images with normalize=False — an inherited quirk of the
+    # 3DGS eval script; we apply the documented normalize=True mapping,
+    # lpips_jittor/lpips.py:142-145.)
     def prep(im):
         im = im * 2.0 - 1.0
         return ((im - jnp.asarray(_SHIFT)[:, None, None])
@@ -77,8 +80,10 @@ def _lpips_pair(img1, img2, weights):
     f2 = _features(prep(img2), weights)
     total = 0.0
     for li, (a, b) in enumerate(zip(f1, f2)):
-        a = a / jnp.maximum(jnp.linalg.norm(a, axis=1, keepdims=True), 1e-10)
-        b = b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-10)
+        # norm + eps (not max(norm, eps)): exact parity with the
+        # reference's normalize_tensor (lpips_jittor/lpips.py:39-41)
+        a = a / (jnp.linalg.norm(a, axis=1, keepdims=True) + 1e-10)
+        b = b / (jnp.linalg.norm(b, axis=1, keepdims=True) + 1e-10)
         d = (a - b) ** 2
         lin = weights[f"lin{li}_w"]  # (1, C, 1, 1)
         total = total + jnp.mean(jnp.sum(d * lin, axis=1))

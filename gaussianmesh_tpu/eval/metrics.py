@@ -27,6 +27,10 @@ def evaluate_dirs(renders_dir: str, gt_dir: str,
                   lpips_weights: str | None = None) -> dict:
     names = sorted(os.listdir(renders_dir))
     lpips = LPIPS(lpips_weights)
+    if not lpips.available:
+        print("[metrics] WARNING: LPIPS weights not found — reporting "
+              "PSNR/SSIM only. Supply lpips_vgg16.npz (see "
+              "gaussianmesh_tpu/eval/lpips.py) or pass --lpips_weights.")
     per_view: dict[str, dict] = {}
     ssims, psnrs, lpipss = [], [], []
     for name in names:
@@ -43,9 +47,10 @@ def evaluate_dirs(renders_dir: str, gt_dir: str,
             lpipss.append(l)
         per_view[name] = entry
     out = {"SSIM": float(np.mean(ssims)) if ssims else None,
-           "PSNR": float(np.mean(psnrs)) if psnrs else None}
-    if lpipss:
-        out["LPIPS"] = float(np.mean(lpipss))
+           "PSNR": float(np.mean(psnrs)) if psnrs else None,
+           # explicit None (not absent) when weights are missing, so the
+           # degradation is visible in results.json, not silent
+           "LPIPS": float(np.mean(lpipss)) if lpipss else None}
     return {"mean": out, "per_view": per_view}
 
 
