@@ -62,6 +62,10 @@ class TileLists(NamedTuple):
     aligned_starts: jax.Array  # (num_tiles + 1,) int32 — aligned range starts
     sorted_gid: jax.Array      # (expand_capacity,) int32 — tile-grouped,
                                # depth-ordered gaussian ids; N = dummy
+    sorted_tile: jax.Array     # (expand_capacity,) int32 — owning tile per
+                               # sorted pair; num_tiles = sentinel
+    in_count: jax.Array        # (expand_capacity,) bool — pair is within its
+                               # tile's granted (clamped) count
     sorted_shift: jax.Array    # (expand_capacity,) int32 — sorted position ->
                                # aligned position offset (aligned = p + shift;
                                # out-of-range marked pair_capacity)
@@ -377,6 +381,8 @@ def finish_tile_lists(sorted_tile: jax.Array, sorted_gid: jax.Array,
         starts=starts,
         aligned_starts=astarts,
         sorted_gid=sorted_gid,
+        sorted_tile=sorted_tile,
+        in_count=in_cnt,
         sorted_shift=sorted_shift,
         block_tile=jnp.clip(block_tile, 0, num_tiles),
         num_rendered=jnp.minimum(num_valid, m).astype(jnp.int32),

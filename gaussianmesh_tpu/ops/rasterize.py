@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from gaussianmesh_tpu.ops import binning, preprocess as prep_mod, tile_blend
+from gaussianmesh_tpu.ops.segsum import gather_rows
 from gaussianmesh_tpu.ops.preprocess import TILE, CameraArrays
 
 
@@ -149,22 +150,32 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
 
     if cfg.use_pallas:
         # ONE wide gather (feature table -> sorted pair domain, padded by
-        # a chunk of dummy rows for the kernel's DMA overrun); the blend
-        # kernel relocates each aligned block from the sorted buffer with
-        # a dynamic-offset DMA — no materialized aligned layout. The
-        # table gather's VJP is the single per-gaussian scatter-add (the
-        # reference backward's atomicAdd, made deterministic).
+        # a chunk of dummy rows for the kernel's DMA overrun), fused by
+        # XLA into the q-table build (tile-local quadratic-form rows; the
+        # blend kernels consume ONLY this table). The blend kernel
+        # relocates each aligned block from the sorted buffer with a
+        # dynamic-offset DMA — no materialized aligned layout. The table
+        # gather's VJP is the single per-gaussian reduction (the
+        # reference backward's atomicAdd, made deterministic: segsum's
+        # sort + pairwise tree — ~2x the XLA scatter-add), reached
+        # through the blend VJP's dL/dq rows + the elementwise q chain.
         m = tiles.sorted_gid.shape[0]
         pad_len = 2 * cfg.blend_chunk + (-m) % cfg.blend_chunk
         gid_pad = jnp.concatenate([
             tiles.sorted_gid,
             jnp.full((pad_len,), n, jnp.int32)])
-        feat_sorted = feat[gid_pad]                      # (m_pad, F)
-        # barrier: otherwise XLA fuses the gather into the transpose and
-        # re-executes it once per feature row (16x the HBM traffic)
-        feat_sorted = jax.lax.optimization_barrier(feat_sorted)
+        tile_pad = jnp.concatenate([
+            tiles.sorted_tile,
+            jnp.full((pad_len,), cfg.num_tiles, jnp.int32)])
+        live_pad = jnp.concatenate([
+            tiles.in_count, jnp.zeros((pad_len,), bool)])
+        feat_sorted = gather_rows(feat, gid_pad)         # (m_pad, F)
+        qtab = tile_blend.build_qtable(feat_sorted, tile_pad, live_pad, gx)
+        # barrier: otherwise XLA fuses gather+build into the transpose
+        # and re-executes them once per feature row (16x the traffic)
+        qtab = jax.lax.optimization_barrier(qtab)
         color_t, final_t_t, ncon_t = tile_blend.blend_sorted_pallas(
-            feat_sorted.T, tiles.block_tile, tiles.aligned_starts,
+            qtab.T, tiles.block_tile, tiles.aligned_starts,
             tiles.starts, tiles.counts, tiles.sorted_shift,
             gx, cfg.num_tiles, p_cap, cfg.blend_chunk,
             with_contrib=cfg.with_contrib)

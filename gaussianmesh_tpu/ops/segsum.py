@@ -1,0 +1,101 @@
+"""Row gather whose VJP is a sort + pairwise-tree segment reduction.
+
+The per-Gaussian gradient reduction is the TPU replacement for the
+reference backward's atomicAdd (backward.cu:523,545-554). The obvious
+`zeros.at[idx].add(d)` scatter-add is deterministic but measured at
+~16 ns/row on v5e (14.5 ms for the 900K-pair bench step) REGARDLESS of
+index order — XLA's scatter is per-row serialized. This op keeps the
+same forward (a wide row gather) and rewrites the backward as:
+
+  1. stable sort (idx, arange)            — groups rows by destination
+  2. ONE wide gather into sorted order
+  3. log2(128) masked shifted-add passes  — an in-segment pairwise
+     upsweep: pass j adds row i+2^j into row i for rows whose
+     in-segment rank is a multiple of 2^(j+1); contiguous slices only,
+     fully vectorized, EXACT pairwise summation (no long-prefix
+     cancellation like a cumsum-and-diff would have)
+  4. heads (rank 0) gathered per destination row; segments longer than
+     128 contribute their extra heads (rank % 128 == 0) through a tiny
+     compacted scatter-add (<= m/128 rows)
+
+Deterministic (fixed reduction tree), and ~2x the speed of the XLA
+scatter at bench scale. Head pass count 7 covers segments <= 128; the
+compacted pass makes any length exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_TREE_PASSES = 7                      # exact heads for segments <= 128
+_HEAD = 1 << _TREE_PASSES
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows(table: jax.Array, idx: jax.Array,
+                assume_grouped: bool = False) -> jax.Array:
+    """table (R, F) gathered at idx (m,) -> (m, F).
+
+    Identical forward to `table[idx]`; the VJP reduces per-row
+    cotangents with the deterministic tree above instead of an XLA
+    scatter-add. `assume_grouped=True` skips the sort when equal idx
+    values are already contiguous AND nondecreasing (e.g. the emission
+    pair domain, which is parent-major).
+    """
+    return table[idx]
+
+
+def _fwd(table, idx, assume_grouped):
+    return table[idx], (idx, table.shape[0])
+
+
+def _bwd(assume_grouped, res, d):
+    idx, n_rows = res
+    m = idx.shape[0]
+    if assume_grouped:
+        sg, ds = idx, d
+    else:
+        sg, perm = jax.lax.sort(
+            (idx, jnp.arange(m, dtype=jnp.int32)), num_keys=1,
+            is_stable=True)
+        ds = d[perm]
+
+    # first sorted position of each destination row (queries 0..n_rows)
+    from gaussianmesh_tpu.ops.binning import _segment_const, _tile_starts
+    starts = _tile_starts(sg, n_rows)
+    seg_start = _segment_const(starts[:n_rows], starts[:n_rows], m)
+    rank = jnp.arange(m, dtype=jnp.int32) - seg_start
+
+    x = ds
+    for j in range(_TREE_PASSES):
+        s = 1 << j
+        if s >= m:
+            break
+        shifted = jnp.concatenate([x[s:], jnp.zeros((s,) + x.shape[1:],
+                                                    x.dtype)])
+        same = jnp.concatenate([sg[s:] == sg[:m - s],
+                                jnp.zeros((s,), bool)])
+        take = ((rank & (2 * s - 1)) == 0) & same
+        x = jnp.where(take[:, None], x + shifted, x)
+
+    # per-destination sums: the rank-0 head of each segment (empty
+    # segments hit a zero pad row)
+    zpad = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)])
+    head_pos = jnp.where(starts[:n_rows] < starts[1:], starts[:n_rows], m)
+    dtable = zpad[head_pos]                              # (n_rows, F)
+
+    # segments longer than _HEAD: add their non-first heads through a
+    # compacted scatter (static cap m // _HEAD + 1 rows)
+    extra = (rank > 0) & ((rank & (_HEAD - 1)) == 0)
+    cap = m // _HEAD + 1
+    epos = jnp.nonzero(extra, size=cap, fill_value=m)[0]
+    evals = zpad[epos]
+    erow = jnp.where(epos < m, sg[jnp.minimum(epos, m - 1)], n_rows)
+    dtable = dtable.at[erow].add(evals, mode="drop")
+    return dtable, None
+
+
+gather_rows.defvjp(_fwd, _bwd)

@@ -69,42 +69,7 @@ def pack_features(mean2d, conic, opacity, rgb, valid) -> jax.Array:
     return feat
 
 
-def _cumsum_lanes(x: jax.Array) -> jax.Array:
-    """Inclusive cumsum along axis 1 (lanes) via log-step shift-adds.
 
-    Mosaic has no native cumsum; a Hillis–Steele scan in log2(K) VPU adds
-    is cheap for K <= 512 and lowers cleanly (static slices only).
-    """
-    k = x.shape[1]
-    d = 1
-    while d < k:
-        shifted = jnp.concatenate(
-            [jnp.zeros_like(x[:, :d]), x[:, :k - d]], axis=1)
-        x = x + shifted
-        d *= 2
-    return x
-
-
-def _cumprod_lanes(x: jax.Array) -> jax.Array:
-    """Inclusive cumprod along lanes — same log-step scan with multiplies.
-
-    Multiplicative transmittance tracking is both cheaper (no log1p/exp
-    pair) and closer to the reference's sequential `T *= (1 - alpha)`
-    (forward.cu:346-357) than the log-space form."""
-    k = x.shape[1]
-    d = 1
-    while d < k:
-        shifted = jnp.concatenate(
-            [jnp.ones_like(x[:, :d]), x[:, :k - d]], axis=1)
-        x = x * shifted
-        d *= 2
-    return x
-
-
-def _shift_one_lane(x: jax.Array, fill: float) -> jax.Array:
-    """Shift right by one lane, filling with `fill` (exclusive-scan helper)."""
-    return jnp.concatenate(
-        [jnp.full_like(x[:, :1], fill), x[:, :x.shape[1] - 1]], axis=1)
 
 
 def _pixel_coords(tile_x, tile_y):
@@ -140,42 +105,6 @@ def _pix_basis() -> jax.Array:
         [one, px, py, px * px, px * py, py * py, zero, zero], axis=1)
 
 
-def _lane_quad(feat, tile_x, tile_y):
-    """Per-lane quadratic coefficients Q (8, chunk) + tile-local means.
-
-    power = P @ Q with P the pixel basis:
-      q0 = -(ca x^2 + cc y^2)/2 - cb x y   (x, y tile-local lane means)
-      q1 = ca x + cb y ,  q2 = cb x + cc y
-      q3 = -ca/2 ,  q4 = -cb ,  q5 = -cc/2
-    """
-    x = feat[ROW_X] - (tile_x * TILE).astype(jnp.float32)   # (chunk,)
-    y = feat[ROW_Y] - (tile_y * TILE).astype(jnp.float32)
-    ca, cb, cc = feat[ROW_CA], feat[ROW_CB], feat[ROW_CC]
-    q0 = -0.5 * (ca * x * x + cc * y * y) - cb * x * y
-    q1 = ca * x + cb * y
-    q2 = cb * x + cc * y
-    zero = jnp.zeros_like(x)
-    q = jnp.stack([q0, q1, q2, -0.5 * ca, -cb, -0.5 * cc, zero, zero])
-    return q, x, y
-
-
-def _alphas_mxu(feat, tile_x, tile_y):
-    """Gated alphas for one tile via the MXU bilinear form.
-
-    feat (FEAT, chunk) -> (alpha, gate, e, raw, power), each (PIX, chunk).
-    Same math as `_alphas` up to matmul rounding.
-    """
-    q, _, _ = _lane_quad(feat, tile_x, tile_y)
-    power = jax.lax.dot_general(
-        _pix_basis(), q, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (PIX, chunk)
-    op = feat[ROW_OP][None, :]
-    e = jnp.exp(power)
-    raw = op * e
-    alpha = jnp.minimum(ALPHA_MAX, raw)
-    gate = (power <= 0.0) & (alpha >= ALPHA_MIN)
-    alpha = jnp.where(gate, alpha, 0.0)
-    return alpha, gate, e, raw, power
 
 
 def _alphas(feat, px, py):
@@ -320,29 +249,28 @@ def _half_extract(buf, slot, hi, src0, half):
     return shifted[:, :half]
 
 
-def _lane_mix(half, chunk, a_val, b_val, dtype=jnp.float32):
-    """(1, chunk) per-lane vector: a_val on the first half's lanes,
-    b_val on the second's (scalars broadcast)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    return jnp.where(lane < half, jnp.asarray(a_val, dtype),
-                     jnp.asarray(b_val, dtype))
-
 
 _DEAD_Q0 = -1e30  # exp(power) == 0 exactly for dead lanes
 
+# q-table rows (FEAT=16). Everything the kernels need per SORTED pair,
+# precomputed on the XLA side fused with the table gather
+# (build_qtable): rows 0..5 are the tile-local quadratic form (power =
+# Q · pixel monomials), with opacity and the live mask FOLDED INTO q0
+# (q0 += log op; dead lanes -1e30 so raw == 0 exactly); 6..8 are rgb.
+# The custom-VJP boundary sits AT this table: the backward kernel
+# returns dL/dq rows + dL/drgb directly (the MXU moment matrix), and
+# XLA autodiff chains q -> (mean2d, conic, opacity) elementwise —
+# no in-kernel gradient reconstruction, no per-lane tile bookkeeping.
+ROW_Q0, ROW_Q1, ROW_Q2, ROW_Q3, ROW_Q4, ROW_Q5 = 0, 1, 2, 3, 4, 5
+# rgb occupies rows 6..8 == ROW_R..ROW_B (shared with the flat layout)
 
-def _raw_alphas_T(feat, ox, oy, live):
-    """Raw alphas TRANSPOSED — pairs on SUBLANES, pixels on lanes.
 
-    Returns (raw (chunk, PIX), x (1, chunk), y (1, chunk)). Opacity and
-    the live-lane mask are folded INTO the exponent (q0 += log(op), dead
-    lanes get -1e30), so raw == op * exp(power) elementwise with zero
-    extra vector work on the big array, and raw == 0.0 exactly on dead
-    lanes. The transposed orientation comes straight out of the MXU by
-    contracting the 8-dim basis axis — no transposes anywhere — and
-    makes the half-chunk granularity FREE: sublane slices at multiples
-    of 8 are tile-aligned, unlike sub-128 lane slices which waste full
-    vector slots (measured 2x regression, round-2 log).
+def build_qtable(feat_sorted: jax.Array, sorted_tile: jax.Array,
+                 live: jax.Array, grid_x: int) -> jax.Array:
+    """(m, FEAT) pack_features-layout rows (already gathered to the
+    sorted pair domain) + per-pair owning tile + live mask -> (m, FEAT)
+    q-table. Differentiable in feat_sorted; tile ids and the mask are
+    static routing (stop-gradient by construction).
 
     Semantics note: the reference's `power > 0 -> skip` guard
     (forward.cu:330-335) is dropped here. power > 0 can only arise from
@@ -350,22 +278,45 @@ def _raw_alphas_T(feat, ox, oy, live):
     the ALPHA_MAX cap bounds the result; the jnp oracle keeps the guard
     and the parity suites bound the difference.
     """
-    x = feat[ROW_X][None, :] - ox                       # (1, chunk)
-    y = feat[ROW_Y][None, :] - oy
-    ca = feat[ROW_CA][None, :]
-    cb = feat[ROW_CB][None, :]
-    cc = feat[ROW_CC][None, :]
-    log_op = jnp.log(jnp.maximum(feat[ROW_OP][None, :], 1e-30))
+    tl = jax.lax.stop_gradient(sorted_tile)
+    ox = ((tl % grid_x) * TILE).astype(jnp.float32)
+    oy = ((tl // grid_x) * TILE).astype(jnp.float32)
+    x = feat_sorted[:, ROW_X] - ox
+    y = feat_sorted[:, ROW_Y] - oy
+    ca = feat_sorted[:, ROW_CA]
+    cb = feat_sorted[:, ROW_CB]
+    cc = feat_sorted[:, ROW_CC]
+    live = live & (feat_sorted[:, ROW_REAL] > 0.0)
+    log_op = jnp.log(jnp.maximum(feat_sorted[:, ROW_OP], 1e-30))
     q0 = -0.5 * (ca * x * x + cc * y * y) - cb * x * y + log_op
     q0 = jnp.where(live, q0, _DEAD_Q0)
-    q1 = ca * x + cb * y
-    q2 = cb * x + cc * y
     zero = jnp.zeros_like(x)
-    q = jnp.concatenate([q0, q1, q2, -0.5 * ca, -cb, -0.5 * cc, zero, zero])
+    return jnp.stack(
+        [q0, ca * x + cb * y, cb * x + cc * y,
+         -0.5 * ca, -cb, -0.5 * cc,
+         feat_sorted[:, ROW_R], feat_sorted[:, ROW_G], feat_sorted[:, ROW_B],
+         zero, zero, zero, zero, zero, zero, zero], axis=-1)
+
+
+def _raw_alphas_T(qwin):
+    """Raw alphas TRANSPOSED — pairs on SUBLANES, pixels on lanes.
+
+    qwin (FEAT, chunk) q-table window -> raw (chunk, PIX). One MXU
+    contraction of the 8-dim basis axis: rows 6..8 (rgb) ride along but
+    multiply the basis' zero pad rows, so contracting rows 0..7 only
+    (a free sublane slice) gives exactly power = Q . monomials. raw ==
+    op * exp(power) with zero extra vector work (opacity and the live
+    mask are folded into q0), and raw == 0.0 exactly on dead lanes. The
+    transposed orientation comes straight out of the MXU — no
+    transposes anywhere — and makes the half-chunk granularity FREE:
+    sublane slices at multiples of 8 are tile-aligned, unlike sub-128
+    lane slices which waste full vector slots (measured 2x regression,
+    round-2 log).
+    """
     power_t = jax.lax.dot_general(
-        q, _pix_basis(), (((0,), (1,)), ((), ())),
+        qwin[:_QDIM], _pix_basis(), (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)             # (chunk, PIX)
-    return jnp.exp(power_t), x, y
+    return jnp.exp(power_t)
 
 
 def _shift_one_sublane(x, fill):
@@ -394,6 +345,22 @@ def _cumsum_sublanes(x):
     return x
 
 
+def _window_mask(h0, half, ht_ref, astarts_ref, counts_ref, num_tiles):
+    """(chunk, 1) sublane mask: lane i of half h is live iff its sorted
+    position is within the owning tile's granted count. A granule's
+    64-wide sorted window OVERRUNS into the next tile's pairs (their own
+    q0 is live — liveness is positional, not per-pair), so this mask is
+    load-bearing: without it the tail lanes double-blend the next tile's
+    splats into the wrong tile."""
+    def rem(h):
+        tc = jnp.clip(ht_ref[h], 0, num_tiles - 1)
+        r = counts_ref[tc] - (h * half - astarts_ref[tc])
+        return jnp.where(ht_ref[h] < num_tiles, r, 0)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
+    return jnp.concatenate([pos < rem(h0), pos < rem(h0 + 1)], axis=0)
+
+
 def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                             m_pad: int, with_contrib: bool):
     half = chunk // 2
@@ -414,15 +381,17 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             return _half_src0(h, half, ht_ref, astarts_ref, starts_ref,
                               m_pad, num_tiles)
 
-        # double-buffered stream: every half fetches unconditionally
-        # (sentinels read clamped pad — uniform traffic keeps semaphore
-        # bookkeeping trivial: exactly one start + one wait per half)
-        @pl.when(b == 0)
+        # double-buffered stream; sentinel halves skip their fetch (the
+        # start and the wait are guarded by the SAME scalar condition,
+        # so semaphore bookkeeping stays consistent: block_tile is
+        # nondecreasing, so a sentinel t0 implies sentinel t1 and
+        # sentinel everything after)
+        @pl.when((b == 0) & (t0 < num_tiles))
         def _prologue():
             _half_dma(feat_ref, buf, sem, 0, 0, src0_of(0), half).start()
             _half_dma(feat_ref, buf, sem, 0, 1, src0_of(1), half).start()
 
-        @pl.when(b + 1 < pb)
+        @pl.when((b + 1 < pb) & (ht_ref[h0 + 2] < num_tiles))
         def _prefetch():
             nslot = (b + 1) % 2
             _half_dma(feat_ref, buf, sem, nslot, 0, src0_of(h0 + 2),
@@ -431,15 +400,13 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                       half).start()
 
         slot = b % 2
-        _half_dma(feat_ref, buf, sem, slot, 0, src0_of(h0), half).wait()
-        _half_dma(feat_ref, buf, sem, slot, 1, src0_of(h0 + 1), half).wait()
 
-        # capacity blocks past the live range: fetches were already
-        # issued (uniform semaphore bookkeeping) but there is no math
-        # and no write (block_tile is nondecreasing, so t0 sentinel
-        # implies t1 sentinel)
+        # capacity blocks past the live range: no fetch, no math, no write
         @pl.when(t0 < num_tiles)
         def _live_block():
+            _half_dma(feat_ref, buf, sem, slot, 0, src0_of(h0), half).wait()
+            _half_dma(feat_ref, buf, sem, slot, 1, src0_of(h0 + 1),
+                      half).wait()
             # first visit of each output row: zero it (rows never visited
             # keep the aliased zero input)
             @pl.when((t0 != prev_even) & (t0 < num_tiles))
@@ -450,27 +417,16 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             def _initB():
                 outB_ref[...] = jnp.zeros_like(outB_ref)
 
-            # ---- combined per-lane evaluation over both halves ----
-            t0c = jnp.clip(t0, 0, num_tiles - 1)
-            t1c = jnp.clip(t1, 0, num_tiles - 1)
+            # ---- both halves in one MXU contraction ----
             featw = jnp.concatenate(
                 [_half_extract(buf, slot, 0, src0_of(h0), half),
                  _half_extract(buf, slot, 1, src0_of(h0 + 1), half)], axis=1)
-            ox = _lane_mix(half, chunk, (t0c % grid_x) * TILE,
-                           (t1c % grid_x) * TILE)
-            oy = _lane_mix(half, chunk, (t0c // grid_x) * TILE,
-                           (t1c // grid_x) * TILE)
-            # live lanes: position within the owning tile's clamped count
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-            rem0 = counts_ref[t0c] - (h0 * half - astarts_ref[t0c])
-            rem1 = counts_ref[t1c] - ((h0 + 1) * half - astarts_ref[t1c])
-            pos = jnp.where(lane < half, lane, lane - half)
-            live = (pos < _lane_mix(half, chunk, rem0, rem1, jnp.int32)
-                    ) & (_lane_mix(half, chunk, t0, t1, jnp.int32) < num_tiles)
 
             # TRANSPOSED domain from here: pairs on sublanes, pixels on lanes
-            raw_t, _, _ = _raw_alphas_T(featw, ox, oy, live)  # (chunk, PIX)
-            alpha_t = jnp.where(raw_t >= ALPHA_MIN,
+            raw_t = _raw_alphas_T(featw)                      # (chunk, PIX)
+            wmask = _window_mask(h0, half, ht_ref, astarts_ref, counts_ref,
+                                 num_tiles)
+            alpha_t = jnp.where((raw_t >= ALPHA_MIN) & wmask,
                                 jnp.minimum(raw_t, ALPHA_MAX), 0.0)
 
             # ---- per-half transmittance chains (sublane scans; sublane
@@ -518,6 +474,7 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                                   carry[1, :])
             ftA = ftA_reset * jnp.min(jnp.where(inclA, cumA, 1.0), axis=0)
             if with_contrib:
+                t0c = jnp.clip(t0, 0, num_tiles - 1)
                 ncA_reset = jnp.where(t0 != prev_t, jnp.zeros_like(s_prev),
                                       carry[2, :])
                 rankA = (jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
@@ -538,6 +495,7 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             ftB = ftB_reset * jnp.min(jnp.where(inclB, cumB, 1.0), axis=0)
             carry[1, :] = ftB
             if with_contrib:
+                t1c = jnp.clip(t1, 0, num_tiles - 1)
                 ncB_reset = jnp.where(t1 != t0, jnp.zeros_like(s_prev), ncA)
                 rankB = (jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
                          + ((h0 + 1) * half - astarts_ref[t1c]) + 1
@@ -570,8 +528,6 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
         t0 = ht_ref[h0]
         t1 = ht_ref[h0 + 1]
         later_t = ht_ref[h0 + 2]
-        t0c = jnp.clip(t0, 0, num_tiles - 1)
-        t1c = jnp.clip(t1, 0, num_tiles - 1)
 
         def src0_of(h):
             return _half_src0(h, half, ht_ref, astarts_ref, starts_ref,
@@ -582,58 +538,68 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             return pltpu.make_async_copy(
                 g_hbm_ref.at[tc], gbuf.at[slot, hi], gsem.at[slot, hi])
 
-        # reverse-order double-buffered streams (feat windows + g rows)
+        def start_block(bb, slot):
+            """Issue block bb's streams: 2 q-table windows + the owning
+            tiles' pixel-gradient rows (deduped when both halves belong
+            to the same tile — ~half of all blocks at 1080p/100K)."""
+            hh = 2 * bb
+            _half_dma(feat_ref, buf, sem, slot, 0, src0_of(hh), half).start()
+            _half_dma(feat_ref, buf, sem, slot, 1, src0_of(hh + 1),
+                      half).start()
+            g_dma(slot, 0, hh).start()
+
+            @pl.when(ht_ref[hh + 1] != ht_ref[hh])
+            def _gB():
+                g_dma(slot, 1, hh + 1).start()
+
+        # reverse-order double-buffered streams; sentinel blocks skip
+        # (start and wait guarded by the same scalar conditions)
         slot = b % 2
-        @pl.when(b == pb - 1)
+        @pl.when((b == pb - 1) & (t0 < num_tiles))
         def _prologue():
-            _half_dma(feat_ref, buf, sem, slot, 0, src0_of(h0), half).start()
-            _half_dma(feat_ref, buf, sem, slot, 1, src0_of(h0 + 1),
-                      half).start()
-            g_dma(slot, 0, h0).start()
-            g_dma(slot, 1, h0 + 1).start()
+            start_block(b, slot)
 
-        @pl.when(b > 0)
+        @pl.when((b > 0) & (ht_ref[h0 - 2] < num_tiles))
         def _prefetch():
-            nslot = (b - 1) % 2
-            _half_dma(feat_ref, buf, sem, nslot, 0, src0_of(h0 - 2),
-                      half).start()
-            _half_dma(feat_ref, buf, sem, nslot, 1, src0_of(h0 - 1),
-                      half).start()
-            g_dma(nslot, 0, h0 - 2).start()
-            g_dma(nslot, 1, h0 - 1).start()
-
-        _half_dma(feat_ref, buf, sem, slot, 0, src0_of(h0), half).wait()
-        _half_dma(feat_ref, buf, sem, slot, 1, src0_of(h0 + 1), half).wait()
-        g_dma(slot, 0, h0).wait()
-        g_dma(slot, 1, h0 + 1).wait()
+            start_block(b - 1, (b - 1) % 2)
 
         @pl.when(t0 < num_tiles)
         def _live_block():
+            _half_dma(feat_ref, buf, sem, slot, 0, src0_of(h0), half).wait()
+            _half_dma(feat_ref, buf, sem, slot, 1, src0_of(h0 + 1),
+                      half).wait()
+            g_dma(slot, 0, h0).wait()
+
+            @pl.when(t1 != t0)
+            def _gBwait():
+                g_dma(slot, 1, h0 + 1).wait()
+
             # ---- combined alpha evaluation (identical to forward) ----
             featw = jnp.concatenate(
                 [_half_extract(buf, slot, 0, src0_of(h0), half),
                  _half_extract(buf, slot, 1, src0_of(h0 + 1), half)], axis=1)
-            ox = _lane_mix(half, chunk, (t0c % grid_x) * TILE,
-                           (t1c % grid_x) * TILE)
-            oy = _lane_mix(half, chunk, (t0c // grid_x) * TILE,
-                           (t1c // grid_x) * TILE)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-            rem0 = counts_ref[t0c] - (h0 * half - astarts_ref[t0c])
-            rem1 = counts_ref[t1c] - ((h0 + 1) * half - astarts_ref[t1c])
-            pos = jnp.where(lane < half, lane, lane - half)
-            live = (pos < _lane_mix(half, chunk, rem0, rem1, jnp.int32)
-                    ) & (_lane_mix(half, chunk, t0, t1, jnp.int32) < num_tiles)
-
-            raw_t, x, y = _raw_alphas_T(featw, ox, oy, live)   # (chunk, PIX)
+            raw_t = _raw_alphas_T(featw)                       # (chunk, PIX)
+            wmask = _window_mask(h0, half, ht_ref, astarts_ref, counts_ref,
+                                 num_tiles)
             # gradient-live: dead lanes have raw == 0 (< ALPHA_MIN), capped
             # splats are masked (consistent with forward's capped min)
-            glive = (raw_t >= ALPHA_MIN) & (raw_t <= ALPHA_MAX)
+            glive = (raw_t >= ALPHA_MIN) & (raw_t <= ALPHA_MAX) & wmask
             alpha_t = jnp.where(glive, raw_t, 0.0)
 
-            def half_grads(g_ref, alpha_h, s_in, rgb_h):
+            # when both halves share a tile, half B's gradient rows were
+            # never fetched — read half A's buffer for both
+            sameAB = t1 == t0
+
+            def gsel(hi):
+                g0 = gbuf[slot, 0]
+                if hi == 0:
+                    return g0
+                return jnp.where(sameAB, g0, gbuf[slot, 1])
+
+            def half_grads(g8, alpha_h, s_in, rgb_h):
                 """Within-half gradient core, transposed domain.
 
-                alpha_h (half, PIX); g_ref rows: 0..2 dL/dcolor,
+                alpha_h (half, PIX); g8 rows: 0..2 dL/dcolor,
                 3 g_final_t, 4 final_t; rgb_h (3, half) lane-oriented.
                 """
                 om = 1.0 - alpha_h
@@ -644,7 +610,7 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
 
                 # dldw[l, p] = sum_c rgb[c, l] g[c, p] — MXU, no transposes
                 dldw = jax.lax.dot_general(
-                    rgb_h, g_ref[0:3, :], (((0,), (0,)), ((), ())),
+                    rgb_h, g8[0:3, :], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)       # (half, PIX)
                 a_mat = dldw * w
                 chunk_sum = jnp.sum(a_mat, axis=0)            # (PIX,)
@@ -652,16 +618,17 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                 return w, om, incl, dldw, chunk_sum, suffix, s_excl
 
             rgb3 = featw[ROW_R:ROW_B + 1]                      # (3, chunk)
+            gA8 = gsel(0)
+            gB8 = gsel(1)
 
             # ---- half B first (reverse order within the block) ----
             @pl.when((t1 < num_tiles) & (t1 != later_t))
             def _initB():
-                gB = gbuf[slot, 1]
-                qcarry[0, :] = gB[3, :] * gB[NCONTRIB_ROW, :]
+                qcarry[0, :] = gB8[3, :] * gB8[NCONTRIB_ROW, :]
 
             sB_in = ckpt_ref[0, 1, :]
             wB, omB, inclB, dldwB, sumB, sufB, sexB = half_grads(
-                gbuf.at[slot, 1], alpha_t[half:], sB_in, rgb3[:, half:])
+                gB8, alpha_t[half:], sB_in, rgb3[:, half:])
             qB = qcarry[0, :][None, :] + sufB
             dalphaB = (dldwB * sexB - qB / omB) * inclB
 
@@ -671,95 +638,74 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
 
             @pl.when((t0 < num_tiles) & (t0 != t1))
             def _initA():
-                gA = gbuf[slot, 0]
-                qcarry[0, :] = gA[3, :] * gA[NCONTRIB_ROW, :]
+                qcarry[0, :] = gA8[3, :] * gA8[NCONTRIB_ROW, :]
 
             sA_in = ckpt_ref[0, 0, :]
             wA, omA, inclA, dldwA, sumA, sufA, sexA = half_grads(
-                gbuf.at[slot, 0], alpha_t[:half], sA_in, rgb3[:, :half])
+                gA8, alpha_t[:half], sA_in, rgb3[:, :half])
             qA = qcarry[0, :][None, :] + sufA
             dalphaA = (dldwA * sexA - qA / omA) * inclA
             qcarry[0, :] += sumA
 
-            # ---- assemble per-lane gradient rows for the whole block ----
+            # ---- per-lane cotangents for the whole block ----
             dalpha_t = jnp.concatenate([dalphaA, dalphaB], axis=0)
             dalpha_t = jnp.where(glive, dalpha_t, 0.0)
             dpower_t = dalpha_t * alpha_t                      # (chunk, PIX)
 
-            # All nine per-splat reductions over the PIX pixels ride the MXU:
-            # moments of dpower against the pixel monomial basis (tile-local
-            # coords, same basis as the forward form) plus the color-gradient
-            # contraction against w. Both contract the PIXEL axis, so the
-            # results land lane-oriented (8/3, chunk) with no transposes.
-            # The dx/dy polynomials are then recovered per lane from the
-            # moments:
-            #   sum_p dpower dx      = x R0 - R1   (dx = x - px)
-            #   sum_p dpower dx^2    = x^2 R0 - 2 x R1 + R3 , etc.
-            # d_op = sum dalpha e = sum dpower / op (alpha = op e on every
-            # live lane; both masks zero the rest).
+            # The VJP boundary is the q-TABLE, so the per-splat outputs
+            # are exactly two MXU contractions over the pixels: dL/dq_j =
+            # sum_p dpower basis_j (the moment matrix — rows 6..7 hit the
+            # basis' zero pad and vanish) and dL/drgb = g . w. XLA chains
+            # q -> (mean2d, conic, opacity) elementwise outside; the old
+            # in-kernel polynomial reconstruction is gone.
             mom = jax.lax.dot_general(
                 _pix_basis(), dpower_t, (((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)           # (8, chunk)
-            gA3 = gbuf[slot, 0][0:3, :]
-            gB3 = gbuf[slot, 1][0:3, :]
             cwA = jax.lax.dot_general(
-                gA3, wA, (((1,), (1,)), ((), ())),
+                gA8[0:3, :], wA, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)           # (3, half)
             cwB = jax.lax.dot_general(
-                gB3, wB, (((1,), (1,)), ((), ())),
+                gB8[0:3, :], wB, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             cw = jnp.concatenate([cwA, cwB], axis=1)          # (3, chunk)
-            ca, cb, cc = featw[ROW_CA], featw[ROW_CB], featw[ROW_CC]
-            r0, r1, r2, r3, r4, r5 = (mom[0], mom[1], mom[2], mom[3],
-                                      mom[4], mom[5])
-            xl = x[0]
-            yl = y[0]
-            sdx = xl * r0 - r1
-            sdy = yl * r0 - r2
-            op_safe = jnp.maximum(featw[ROW_OP], 1e-12)
             zero = jnp.zeros((chunk,), jnp.float32)
-            dpart_ref[...] = jnp.stack([
-                -(ca * sdx + cb * sdy),
-                -(cc * sdy + cb * sdx),
-                -0.5 * (xl * xl * r0 - 2.0 * xl * r1 + r3),
-                -(xl * yl * r0 - xl * r2 - yl * r1 + r4),
-                -0.5 * (yl * yl * r0 - 2.0 * yl * r2 + r5),
-                r0 / op_safe,
-                cw[0], cw[1], cw[2],
-                zero, zero, zero, zero, zero, zero, zero,
-            ])
+            dpart_ref[...] = jnp.concatenate([
+                mom[0:6], cw,
+                jnp.zeros((FEAT - 9, chunk), jnp.float32)], axis=0)
 
     return kernel
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
-def blend_sorted_pallas(feat_sortedT: jax.Array, block_tile: jax.Array,
+def blend_sorted_pallas(qtabT: jax.Array, block_tile: jax.Array,
                         aligned_starts: jax.Array, starts: jax.Array,
                         counts: jax.Array, sorted_shift: jax.Array,
                         grid_x: int, num_tiles: int, p_cap: int,
                         chunk: int = 128, with_contrib: bool = False):
-    """Flat-grid ragged blend over the SORTED pair buffer.
+    """Flat-grid ragged blend over the SORTED q-table (build_qtable).
 
-    feat_sortedT: (FEAT, m_pad) sorted, tile-grouped, depth-ordered pair
-        features, padded by at least 2*chunk columns past the live range
-        (padding may be garbage — it is never unmasked).
+    qtabT: (FEAT, m_pad) sorted, tile-grouped, depth-ordered q-table,
+        padded by at least 2*chunk columns past the live range (padding
+        may be garbage — dead lanes carry q0 = -1e30 and vanish).
     block_tile: (p_cap // (chunk // 2) + 1,) owning tile per aligned
         HALF-chunk (64-lane granule); num_tiles = sentinel.
-    aligned_starts / counts: half-aligned layout bookkeeping.
+    aligned_starts: half-aligned layout bookkeeping.
     starts: (num_tiles + 1,) sorted-domain tile ranges.
+    counts: (num_tiles,) live pairs per tile (output masking only).
     sorted_shift: sorted position -> aligned offset (backward map).
-    Returns (color (T, 3, PIX), final_t (T, PIX), n_contrib (T, PIX)).
+    Returns (color (T, 3, PIX), final_t (T, PIX), n_contrib (T, PIX));
+    the VJP yields dL/d qtabT (dL/dq rows + dL/drgb).
     """
-    out, _ = _sorted_fwd_impl(feat_sortedT, block_tile, aligned_starts,
+    out, _ = _sorted_fwd_impl(qtabT, block_tile, aligned_starts,
                               starts, counts, grid_x, num_tiles, p_cap,
                               chunk, with_contrib)
     return out
 
 
-def _sorted_fwd_impl(feat_sortedT, block_tile, aligned_starts, starts,
+def _sorted_fwd_impl(qtabT, block_tile, aligned_starts, starts,
                      counts, grid_x, num_tiles, p_cap, chunk,
                      with_contrib=False):
-    f_rows, m_pad = feat_sortedT.shape
+    f_rows, m_pad = qtabT.shape
     assert f_rows == FEAT and m_pad % chunk == 0, (f_rows, m_pad, chunk)
     pb = p_cap // chunk
     half = chunk // 2
@@ -800,7 +746,7 @@ def _sorted_fwd_impl(feat_sortedT, block_tile, aligned_starts, starts,
         ),
         input_output_aliases={5: 0, 6: 1},
     )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
-      counts.astype(jnp.int32), starts.astype(jnp.int32), feat_sortedT,
+      counts.astype(jnp.int32), starts.astype(jnp.int32), qtabT,
       zeros_out, zeros_out)
     out8 = outA[:num_tiles] + outB[:num_tiles]
 
@@ -811,22 +757,22 @@ def _sorted_fwd_impl(feat_sortedT, block_tile, aligned_starts, starts,
     return (color, final_t, n_contrib), ckpt
 
 
-def _sorted_fwd_rule(feat_sortedT, block_tile, aligned_starts, starts,
+def _sorted_fwd_rule(qtabT, block_tile, aligned_starts, starts,
                      counts, sorted_shift, grid_x, num_tiles, p_cap, chunk,
                      with_contrib=False):
-    out, ckpt = _sorted_fwd_impl(feat_sortedT, block_tile, aligned_starts,
+    out, ckpt = _sorted_fwd_impl(qtabT, block_tile, aligned_starts,
                                  starts, counts, grid_x, num_tiles, p_cap,
                                  chunk, with_contrib)
     _, final_t, _ = out
-    return out, (feat_sortedT, block_tile, aligned_starts, starts, counts,
+    return out, (qtabT, block_tile, aligned_starts, starts, counts,
                  sorted_shift, ckpt, final_t)
 
 
 def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
-    (feat_sortedT, block_tile, aligned_starts, starts, counts, sorted_shift,
+    (qtabT, block_tile, aligned_starts, starts, counts, sorted_shift,
      ckpt, final_t) = res
     g_color, g_final_t, _ = cts
-    f_rows, m_pad = feat_sortedT.shape
+    f_rows, m_pad = qtabT.shape
     pb = p_cap // chunk
 
     zeros = jnp.zeros_like(final_t)
@@ -841,7 +787,7 @@ def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
         num_scalar_prefetch=4,
         grid=(pb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # feat (streamed by DMA)
+            pl.BlockSpec(memory_space=pl.ANY),   # qtab (streamed by DMA)
             pl.BlockSpec(memory_space=pl.ANY),   # g8 (streamed by DMA)
             pl.BlockSpec((1, 2, PIX), lambda b, *s: (pl.num_programs(0) - 1 - b, 0, 0)),
         ],
@@ -859,8 +805,7 @@ def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((FEAT, p_cap), jnp.float32),
     )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
-      counts.astype(jnp.int32), starts.astype(jnp.int32), feat_sortedT,
-      g8, ckpt)
+      counts.astype(jnp.int32), starts.astype(jnp.int32), qtabT, g8, ckpt)
 
     # aligned -> sorted: deterministic inverse gather (each live sorted
     # row has a unique aligned position); padding columns get zero
@@ -870,9 +815,9 @@ def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
     p_idx = jnp.arange(m, dtype=jnp.int32)
     dest = jnp.clip(p_idx + sorted_shift, 0, p_cap)
     d_sorted = d_pad[dest]                               # (m, FEAT)
-    d_featT = jnp.zeros((f_rows, m_pad), dpart.dtype).at[:, :m].set(
+    d_qtabT = jnp.zeros((f_rows, m_pad), dpart.dtype).at[:, :m].set(
         d_sorted.T)
-    return (d_featT, None, None, None, None, None)
+    return (d_qtabT, None, None, None, None, None)
 
 
 blend_sorted_pallas.defvjp(_sorted_fwd_rule, _sorted_bwd_rule)

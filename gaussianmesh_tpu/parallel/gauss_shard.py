@@ -96,7 +96,9 @@ def rasterize_band_gauss_sharded(
     feat = tile_blend.pack_features(mean2d, prep.conic,
                                     arrays.opacity.reshape(-1), arrays.rgb,
                                     prep.valid)           # (N_local+1, 16)
-    pair_feat = feat[exp.gid_slot]                        # (m, 16)
+    from gaussianmesh_tpu.ops.segsum import gather_rows
+    pair_feat = gather_rows(feat, exp.gid_slot,
+                            assume_grouped=True)      # (m, 16)
 
     # 2. bucket by destination band; the stable sort keeps each bucket in
     # emission order (the receiver's 3-key sort establishes depth order)
@@ -154,9 +156,14 @@ def rasterize_band_gauss_sharded(
         pad_len = 2 * chunk + (-m_recv) % chunk
         feat_pad = jnp.concatenate(
             [feat_sorted, jnp.zeros((pad_len, tile_blend.FEAT))])
-        feat_pad = jax.lax.optimization_barrier(feat_pad)
+        tile_pad = jnp.concatenate(
+            [st, jnp.full((pad_len,), nt_local, jnp.int32)])
+        live_pad = jnp.concatenate(
+            [tiles.in_count, jnp.zeros((pad_len,), bool)])
+        qtab = tile_blend.build_qtable(feat_pad, tile_pad, live_pad, gx)
+        qtab = jax.lax.optimization_barrier(qtab)
         color_t, final_t_t, _ = tile_blend.blend_sorted_pallas(
-            feat_pad.T, tiles.block_tile, tiles.aligned_starts,
+            qtab.T, tiles.block_tile, tiles.aligned_starts,
             tiles.starts, tiles.counts, tiles.sorted_shift,
             gx, nt_local, p_cap, chunk)
     else:

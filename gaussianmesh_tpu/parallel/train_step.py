@@ -106,10 +106,17 @@ def rasterize_band(arrays: render_mod.GaussianArrays, cam: CameraArrays,
         gid_pad = jnp.concatenate([
             tiles.sorted_gid,
             jnp.full((pad_len,), n, jnp.int32)])
-        feat_sorted = feat[gid_pad]
-        feat_sorted = jax.lax.optimization_barrier(feat_sorted)
+        tile_pad = jnp.concatenate([
+            tiles.sorted_tile,
+            jnp.full((pad_len,), gx * gy_local, jnp.int32)])
+        live_pad = jnp.concatenate([
+            tiles.in_count, jnp.zeros((pad_len,), bool)])
+        from gaussianmesh_tpu.ops.segsum import gather_rows
+        feat_sorted = gather_rows(feat, gid_pad)
+        qtab = tile_blend.build_qtable(feat_sorted, tile_pad, live_pad, gx)
+        qtab = jax.lax.optimization_barrier(qtab)
         color_t, final_t_t, _ = tile_blend.blend_sorted_pallas(
-            feat_sorted.T, tiles.block_tile, tiles.aligned_starts,
+            qtab.T, tiles.block_tile, tiles.aligned_starts,
             tiles.starts, tiles.counts, tiles.sorted_shift,
             gx, gx * gy_local, p_cap, cfg.blend_chunk)
     else:

@@ -71,9 +71,40 @@ def timed(name, fn, *args, grad_wrt=None):
     t0 = time.perf_counter()
     out = loop(*args)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / STEPS * 1e3
+    dt = ((time.perf_counter() - t0) * 1e3 - _overhead_ms()) / STEPS
     print(f"{name:42s} {dt:8.2f} ms")
     return dt
+
+
+_OVERHEAD_MS = None
+
+
+def _overhead_ms() -> float:
+    """Fixed per-dispatch overhead of this harness on the axon relay.
+
+    The relay polls for completion on a coarse (~30 ms) tick, so ANY
+    block/fetch-synced dispatch pays a large constant on top of device
+    time. Calibrated once with an empty scan body and subtracted from
+    every measurement; without this, every stage reads ~+30/STEPS ms too
+    high (this hid the real stage ranking in round 2)."""
+    global _OVERHEAD_MS
+    if _OVERHEAD_MS is None:
+        @jax.jit
+        def empty(x):
+            def body(c, _):
+                return c + x * 1e-30, None
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=STEPS)
+            return out
+        x = jnp.float32(1.0)
+        jax.block_until_ready(empty(x))
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(empty(x))
+            samples.append((time.perf_counter() - t0) * 1e3)
+        _OVERHEAD_MS = min(samples)
+        print(f"[calibration] harness overhead {_OVERHEAD_MS:.2f} ms/dispatch")
+    return _OVERHEAD_MS
 
 
 def profile_expand():
@@ -156,7 +187,13 @@ def main():
     pad_len = 2 * cfg.blend_chunk + (-m) % cfg.blend_chunk
     gid_pad = jnp.concatenate([tiles.sorted_gid,
                                jnp.full((pad_len,), n, jnp.int32)])
-    featT = jax.jit(lambda f, g: f[g].T)(feat, gid_pad)
+    tile_pad = jnp.concatenate([tiles.sorted_tile,
+                                jnp.full((pad_len,), cfg.num_tiles,
+                                         jnp.int32)])
+    live_pad = jnp.concatenate([tiles.in_count,
+                                jnp.zeros((pad_len,), bool)])
+    featT = jax.jit(lambda f, g: tile_blend.build_qtable(
+        f[g], tile_pad, live_pad, gx).T)(feat, gid_pad)
     print(f"pairs live={int(exp.num_valid)} sorted_m={m} p_cap={p_cap} "
           f"blocks={p_cap // cfg.blend_chunk} "
           f"total_aligned={int(tiles.aligned_starts[-1])} "
@@ -173,7 +210,8 @@ def main():
     timed("finish_tile_lists", lambda st: binning.finish_tile_lists(
         st, sorted_gid, exp.num_valid, exp.rect_overflow, cfg.num_tiles,
         cfg.max_per_tile, p_cap, cfg.blend_chunk), sorted_tile)
-    timed("feat gather+T", lambda f: f[gid_pad].T, feat)
+    timed("qtable gather+build+T", lambda f: tile_blend.build_qtable(
+        f[gid_pad], tile_pad, live_pad, gx).T, feat)
 
     blend = lambda ft: tile_blend.blend_sorted_pallas(
         ft, tiles.block_tile, tiles.aligned_starts, tiles.starts,
