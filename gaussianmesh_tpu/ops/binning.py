@@ -17,10 +17,12 @@ per-tile quantities with tiny scatters (one element per tile) + cumsum
 
   1. argsort N Gaussians by view depth (invalid last);
   2. TWO-STAGE offset-exact expansion: gaussians -> tile rows of their
-     rect (exclusive-cumsum of rect heights; rank-at-offset scatter +
-     cummax recovers each row's parent), then rows -> (tile, gaussian)
-     pairs using the EXACT per-row x-extent of the gated ellipse
-     (alpha >= 1/255; `_row_x_extent`). The pair domain therefore holds
+     rect (exclusive-cumsum of rect heights; a block-local searchsorted
+     recovers each row's parent — zero-count parents emit one flagged
+     dummy child so offsets stay strictly increasing), then rows ->
+     (tile, gaussian) pairs using the EXACT per-row x-extent of the
+     gated ellipse (alpha >= 1/255; `_row_x_extent`). The pair domain
+     therefore holds
      only pairs the blend kernel could actually shade — no rect-bbox
      corner waste — which shrinks the sort, both gathers, the blend
      grid, and the gradient scatter by the same factor (~2x vs bbox
@@ -49,6 +51,13 @@ from gaussianmesh_tpu.ops.preprocess import Preprocessed
 
 TILE = 16
 ALPHA_MIN = 1.0 / 255.0
+# Aligned-layout granule (lanes). Fixed at 64 independent of the blend
+# chunk: the blend kernel processes chunk // ALIGN granules per grid
+# step, so growing the chunk amortizes per-block latency WITHOUT growing
+# per-tile padding waste (tiles pay <= ALIGN-1 pad lanes each). 64 = 8
+# sublane tiles in the kernel's transposed (pairs-on-sublanes) domain,
+# keeping granule slices tile-aligned.
+ALIGN = 64
 # slack on the cull threshold so rounding differences between the
 # closed-form q_min and the blend kernel's own alpha can never cull a
 # pair the kernel would have kept (alpha ratio e^{5e-5} of headroom)
@@ -69,8 +78,8 @@ class TileLists(NamedTuple):
     sorted_shift: jax.Array    # (expand_capacity,) int32 — sorted position ->
                                # aligned position offset (aligned = p + shift;
                                # out-of-range marked pair_capacity)
-    block_tile: jax.Array      # (pair_capacity // (chunk // 2) + 1,) int32
-                               # owning tile per aligned HALF-chunk;
+    block_tile: jax.Array      # (pair_capacity // ALIGN + 1,) int32
+                               # owning tile per aligned ALIGN-granule;
                                # num_tiles = sentinel
     num_rendered: jax.Array    # () int32 — live pairs after the ellipse cull
     tile_overflow: jax.Array   # () int32 — pairs dropped by max_per_tile
@@ -79,6 +88,10 @@ class TileLists(NamedTuple):
                                # upstream shortage; both answer to growing
                                # the per-gaussian capacity factors)
     pair_overflow: jax.Array   # () int32 — pairs dropped by pair_capacity
+    gid_counts: jax.Array | None = None  # (n,) int32 exact per-gaussian
+                               # pair multiplicities (PairExpansion), when
+                               # the producer knows them; None on paths
+                               # that build lists from received pairs
 
 
 def _segment_const(values_per_tile: jax.Array, seg_starts: jax.Array,
@@ -131,41 +144,63 @@ def _row_x_extent(my, ca, cb, cc, qcut, ty):
 
 
 def _offset_expand(counts: jax.Array, capacity: int):
-    """Offset-exact expansion: parent i owns the contiguous child range
-    [off[i], off[i+1]). Returns (off (n+1,), parent (capacity,) int32 —
-    child slot -> parent index, floored at 0 —, total, overflow)."""
+    """Offset-exact expansion for STRICTLY POSITIVE counts: parent i owns
+    the contiguous child range [off[i], off[i+1]). Returns (off (n+1,),
+    parent (capacity,) int32 — child slot -> parent index, clamped to
+    n-1 past the total —, total, overflow).
+
+    Requiring counts >= 1 (callers force zero-count parents to emit one
+    flagged dummy child) makes `off` strictly increasing, so parent
+    recovery is a block-local searchsorted: parent[j] = #{i: off[i+1] <=
+    j}, computed per 128-slot block as a positioned candidate window
+    (<= 128 boundaries can fall in a block — strictness guarantees it)
+    + one clustered gather + a lane count. The previous recovery
+    (idx scatter-max at range starts + capacity-length cummax) paid the
+    pathological per-row XLA scatter cost — ~16 ns/row on the PARENT
+    domain — which dominated expand_pairs (PERF.md)."""
     n = counts.shape[0]
     off = jnp.concatenate([jnp.zeros(1, jnp.int32),
                            jnp.cumsum(counts).astype(jnp.int32)])
     total = off[n]
     overflow = jnp.maximum(total - capacity, 0)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    scatter_pos = jnp.where(counts > 0, off[:n], capacity)
-    parent_of = jnp.full((capacity,), -1, jnp.int32).at[scatter_pos].max(
-        idx, mode="drop")
-    parent = jnp.maximum(jax.lax.cummax(parent_of), 0)
+    off1 = off[1:]
+    blk = 128
+    nb = -(-capacity // blk)
+    # s[b] = #{i: off1[i] < 128 b} — searchsorted at the block bases
+    s = _searchsorted_left(off1, jnp.arange(nb, dtype=jnp.int32) * blk)
+    # candidate boundaries: off1[s[b] + k], k < 128 (clustered gather).
+    # Strict monotonicity bounds off1[s[b] + k] >= 128 b + k, so k >= 128
+    # can never satisfy off1 <= j for j < 128 (b + 1): 128 candidates
+    # are EXACTLY sufficient.
+    kidx = jnp.arange(blk, dtype=jnp.int32)[None, :]
+    cpos = s[:, None] + kidx
+    cand = off1[jnp.minimum(cpos, n - 1)]                # (nb, 128)
+    cand_ok = cpos < n
+    j = (jnp.arange(nb, dtype=jnp.int32) * blk)[:, None] + kidx
+    cnt = jnp.sum(((cand[:, None, :] <= j[:, :, None])
+                   & cand_ok[:, None, :]).astype(jnp.int32), axis=-1)
+    parent = jnp.minimum((s[:, None] + cnt).reshape(-1)[:capacity], n - 1)
     return off, parent, total, overflow
 
 
-def _tile_starts(sorted_tile: jax.Array, num_tiles: int) -> jax.Array:
-    """starts[t] = first index with sorted_tile >= t, for t in 0..num_tiles.
-
-    jnp.searchsorted lowers to an XLA while-loop whose per-iteration
-    1-element gathers dominate the whole binning pipeline on TPU (~6ms
-    for 8K queries over 900K keys). This two-level search costs ~20x
-    less: an UNROLLED branchless binary search over the 128-stride block
-    heads (log2(m/128) wide-vector steps, each one small gather), then
-    one wide (Q, 128) row gather and a lane count."""
-    m = sorted_tile.shape[0]
+def _searchsorted_left(a: jax.Array, q: jax.Array) -> jax.Array:
+    """out[k] = #{i: a[i] < q[k]} for sorted int32 `a` (searchsorted
+    left). jnp.searchsorted lowers to an XLA while-loop whose
+    per-iteration 1-element gathers dominate the whole binning pipeline
+    on TPU (~6ms for 8K queries over 900K keys). This two-level search
+    costs ~20x less: an UNROLLED branchless binary search over the
+    128-stride block heads (log2(m/128) wide-vector steps, each one
+    small gather), then one clustered (Q, 128) row gather and a lane
+    count."""
+    m = a.shape[0]
     blk = 128
     nb = -(-m // blk)
     pad = nb * blk - m
     big = jnp.iinfo(jnp.int32).max
-    a = jnp.concatenate([sorted_tile,
-                         jnp.full((pad,), big, jnp.int32)]) if pad else sorted_tile
+    if pad:
+        a = jnp.concatenate([a, jnp.full((pad,), big, jnp.int32)])
     rows = a.reshape(nb, blk)
     heads = rows[:, 0]                                   # (nb,)
-    q = jnp.arange(num_tiles + 1, dtype=jnp.int32)
 
     # first block b with heads[b] >= q  (range 0..nb)
     lo = jnp.zeros_like(q)
@@ -183,6 +218,12 @@ def _tile_starts(sorted_tile: jax.Array, num_tiles: int) -> jax.Array:
     return jnp.where(lo > 0, b * blk + in_block, 0).astype(jnp.int32)
 
 
+def _tile_starts(sorted_tile: jax.Array, num_tiles: int) -> jax.Array:
+    """starts[t] = first index with sorted_tile >= t, t in 0..num_tiles."""
+    return _searchsorted_left(
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32))
+
+
 class PairExpansion(NamedTuple):
     """Stage 1+2 output: the unsorted (tile, gaussian) pair domain.
 
@@ -195,6 +236,10 @@ class PairExpansion(NamedTuple):
     pair_depth: jax.Array   # (m,) f32 view depth of the parent (inf pad)
     num_valid: jax.Array    # () int32
     rect_overflow: jax.Array
+    gid_counts: jax.Array   # (n,) int32 — EXACT #pairs emitted per
+                            # gaussian (slots with gid_slot == g); feeds
+                            # segsum.gather_rows_counted so the gradient
+                            # reduction skips its per-destination search
 
 
 def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
@@ -214,9 +259,10 @@ def build_tile_lists(prep: Preprocessed, grid_x: int, grid_y: int,
     sorted_tile, _, sorted_gid = jax.lax.sort(
         (exp.pair_tile, exp.pair_depth, exp.gid_slot), num_keys=2,
         is_stable=True)
-    return finish_tile_lists(sorted_tile, sorted_gid, exp.num_valid,
-                             exp.rect_overflow, num_tiles, max_per_tile,
-                             pair_capacity, chunk)
+    tiles = finish_tile_lists(sorted_tile, sorted_gid, exp.num_valid,
+                              exp.rect_overflow, num_tiles, max_per_tile,
+                              pair_capacity, chunk)
+    return tiles._replace(gid_counts=exp.gid_counts)
 
 
 def expand_pairs(prep: Preprocessed, grid_x: int, grid_y: int,
@@ -246,9 +292,12 @@ def expand_pairs(prep: Preprocessed, grid_x: int, grid_y: int,
     # slack keeps fp rounding from culling a pair the kernel would keep
     qcut_all = 2.0 * jnp.log(jnp.maximum(op_flat, 1e-12) / ALPHA_MIN) + _CULL_SLACK
 
-    heights = jnp.where(
+    heights_raw = jnp.where(
         prep.valid, prep.rect_max[:, 1] - prep.rect_min[:, 1],
         0).astype(jnp.int32)
+    # _offset_expand requires strictly positive counts (searchsorted
+    # rank recovery): zero-height gaussians emit one flagged dummy row
+    heights = jnp.maximum(heights_raw, 1)
     roff, rank1, total_rows, row_overflow = _offset_expand(heights, m1)
 
     tab1 = jnp.stack([
@@ -261,12 +310,15 @@ def expand_pairs(prep: Preprocessed, grid_x: int, grid_y: int,
         prep.rect_max[:, 0].astype(jnp.float32),      # 9 x clip hi
         jnp.arange(n, dtype=jnp.float32),             # 10 gaussian id
         depth_key,                                    # 11 view depth
-    ], axis=-1)                                                  # (N, 12)
-    row_tab = tab1[rank1]                                        # (m1, 12)
+        heights_raw.astype(jnp.float32),              # 12 true height
+    ], axis=-1)                                                  # (N, 13)
+    row_tab = tab1[rank1]                                        # (m1, 13)
 
     # 3. per-row EXACT x-extent of the gated ellipse (elementwise)
     i1 = jnp.arange(m1, dtype=jnp.int32)
-    ty = row_tab[:, 1].astype(jnp.int32) + (i1 - row_tab[:, 0].astype(jnp.int32))
+    rr = i1 - row_tab[:, 0].astype(jnp.int32)
+    ty = row_tab[:, 1].astype(jnp.int32) + rr
+    real_row = rr < row_tab[:, 12].astype(jnp.int32)  # not a forced dummy
     ca, cb, cc = row_tab[:, 4], row_tab[:, 5], row_tab[:, 6]
     pd = (ca > 0) & (cc > 0) & (ca * cc > cb * cb)
     dx_min, dx_max = _row_x_extent(row_tab[:, 3], ca, cb, cc, row_tab[:, 7],
@@ -283,57 +335,82 @@ def expand_pairs(prep: Preprocessed, grid_x: int, grid_y: int,
     # otherwise round to a spurious width-1 pair that the blend alpha-
     # gates to zero but that still costs sort/blend capacity)
     row_live = jnp.where(pd, dx_min <= dx_max, True)
-    widths = jnp.where((i1 < total_rows) & row_live,
-                       jnp.maximum(tx1 - tx0, 0), 0)
+    width_real = jnp.where((i1 < total_rows) & real_row & row_live,
+                           jnp.maximum(tx1 - tx0, 0), 0)
+    # strictness again: zero-width rows emit one sentinel-tiled pair
+    widths = jnp.maximum(width_real, 1)
 
-    # 4. stage 2: rows -> (tile, gaussian) pairs, same rank-recovery
-    # pattern as stage 1 (scatter-max at range starts + cummax) plus ONE
-    # wide 2-column gather. Only two per-row values are needed because a
-    # row's pairs cover CONSECUTIVE tiles: tile(j) = base + j with
-    # base = (ty*gx + tx0) - toff[row] (exact int32 telescoping). An
-    # honestly-measured A/B (int-typed inputs pinned into the timing
-    # loop) has this at 8.3 ms vs 15.5 ms for the previous 3-column
-    # diff-scatter + (m, 3) cumsum — the m1-row scatter of 3-wide diffs
-    # was the cost, not the gather.
+    # 4. stage 2: rows -> (tile, gaussian) pairs, same searchsorted rank
+    # recovery as stage 1 plus ONE wide gather. Only a few per-row values
+    # are needed because a row's pairs cover CONSECUTIVE tiles: tile(j) =
+    # base + j with base = (ty*gx + tx0) - toff[row] (exact int32
+    # telescoping).
     toff, row_of, total, pair_lost = _offset_expand(widths, m)
     rect_overflow = row_overflow + pair_lost
+    dummy_row = width_real == 0
+    n_dummy = jnp.sum((dummy_row
+                       & (toff[:m1] < jnp.minimum(total, m))).astype(jnp.int32))
     base = (ty * grid_x + tx0) - toff[:m1]
     # depth rides along bitcast to int32 (exact transport) so the whole
     # propagation stays ONE wide gather
-    tab2 = jnp.stack([base, row_tab[:, 10].astype(jnp.int32),
+    tab2 = jnp.stack([jnp.where(dummy_row, 0, base),
+                      row_tab[:, 10].astype(jnp.int32),
                       jax.lax.bitcast_convert_type(
-                          row_tab[:, 11].astype(jnp.float32), jnp.int32)],
+                          row_tab[:, 11].astype(jnp.float32), jnp.int32),
+                      dummy_row.astype(jnp.int32)],
                      axis=-1)
-    sv = tab2[row_of]                                            # (m, 3)
+    sv = tab2[row_of]                                            # (m, 4)
 
     j = jnp.arange(m, dtype=jnp.int32)
-    pair_ok = j < total
+    pair_ok = (j < total) & (sv[:, 3] == 0)
     pair_tile = jnp.where(pair_ok, sv[:, 0] + j, num_tiles)
     gid_slot = jnp.where(pair_ok, sv[:, 1], n)
     pair_depth = jnp.where(
         pair_ok, jax.lax.bitcast_convert_type(sv[:, 2], jnp.float32),
         jnp.inf)
-    num_valid = jnp.minimum(total, m)
+    num_valid = jnp.minimum(total, m) - n_dummy
+
+    # EXACT per-gaussian emitted-pair counts (slots with gid_slot == g):
+    # per-row kept width (capacity-clipped), segment-summed over each
+    # gaussian's row range with a log-step in-segment tree — ranks (rr)
+    # and range starts (roff) are already known, so the gradient
+    # reduction consuming these (segsum.gather_rows_counted) never
+    # searches for its segment boundaries.
+    cnt_row = jnp.minimum(jnp.clip(m - toff[:m1], 0, None), width_real)
+    x = cnt_row.astype(jnp.int32)
+    d = 1
+    max_seg = max(2, grid_y)          # segment length <= rect height <= gy
+    while d < max_seg:
+        shifted = jnp.concatenate([x[d:], jnp.zeros((d,), jnp.int32)])
+        same = jnp.concatenate([rank1[d:] == rank1[:m1 - d],
+                                jnp.zeros((d,), bool)])
+        x = jnp.where(((rr & (2 * d - 1)) == 0) & same, x + shifted, x)
+        d *= 2
+    xz = jnp.concatenate([x, jnp.zeros((1,), jnp.int32)])
+    gid_counts = xz[jnp.minimum(roff[:n], m1)]
+
     return PairExpansion(pair_tile=pair_tile, gid_slot=gid_slot,
                          pair_depth=pair_depth, num_valid=num_valid,
-                         rect_overflow=rect_overflow)
+                         rect_overflow=rect_overflow,
+                         gid_counts=gid_counts)
 
 
 def finish_tile_lists(sorted_tile: jax.Array, sorted_gid: jax.Array,
                       num_valid, rect_overflow, num_tiles: int,
                       max_per_tile: int, pair_capacity: int,
                       chunk: int = 128) -> TileLists:
-    """Per-tile ranges + half-chunk-aligned bookkeeping from the SORTED
+    """Per-tile ranges + ALIGN-granule bookkeeping from the SORTED
     pair domain (tile-grouped, depth-ordered within tile).
 
-    Alignment granule = chunk // 2: the blend kernel processes two
-    independent half-chunks per grid step (tile_blend.py), so tiles only
-    pay up to half-1 lanes of padding instead of chunk-1 (~25% vs ~44%
-    lane waste at 1080p/100K)."""
+    Alignment granule = ALIGN (64) regardless of chunk: the blend kernel
+    processes chunk // ALIGN independent granules per grid step
+    (tile_blend.py), so tiles only pay up to ALIGN-1 lanes of padding
+    (~25% lane waste at 1080p/100K) while the chunk can grow to amortize
+    per-block latency."""
     m = sorted_tile.shape[0]
     p_cap = pair_capacity
-    half = chunk // 2
-    assert p_cap % chunk == 0, (p_cap, chunk)
+    half = ALIGN
+    assert p_cap % chunk == 0 and chunk % ALIGN == 0, (p_cap, chunk)
 
     # 6. ranges + aligned layout (gathers, no big scatter)
     starts = _tile_starts(sorted_tile, num_tiles)

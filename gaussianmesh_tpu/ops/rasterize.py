@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from gaussianmesh_tpu.ops import binning, preprocess as prep_mod, tile_blend
-from gaussianmesh_tpu.ops.segsum import gather_rows
 from gaussianmesh_tpu.ops.preprocess import TILE, CameraArrays
 
 
@@ -40,7 +39,7 @@ class RasterizerConfig:
     pair_capacity_per_gaussian: int = 10
     row_capacity_per_gaussian: int = 4
     # alignment padding budget, as a fraction of the align granule
-    # (= blend_chunk // 2) per tile (waste per tile is count mod align
+    # (= binning.ALIGN) per tile (waste per tile is count mod align
     # rounded up; 0.5 covers the uniform average with slack — workloads
     # that measure their aligned totals can tighten it; pair_overflow
     # reports any shortfall). Oversizing costs real time: the blend grid
@@ -59,12 +58,12 @@ class RasterizerConfig:
         return n * self.row_capacity_per_gaussian
 
     def aligned_pad(self, num_tiles: int) -> int:
-        # alignment granule is half a chunk (binning.finish_tile_lists).
+        # alignment granule is binning.ALIGN, independent of the chunk.
         # small grids get the exact worst case (every live tile can waste
-        # half-1 lanes — sparse scenes hit this, e.g. 1 gaussian/tile);
+        # align-1 lanes — sparse scenes hit this, e.g. 1 gaussian/tile);
         # big grids would pay too much HBM for that, so they take the
         # budgeted average and rely on clamp + pair_overflow reporting
-        align = self.blend_chunk // 2
+        align = binning.ALIGN
         worst = num_tiles * align
         budgeted = int(num_tiles * align * self.tile_align_budget)
         return worst if num_tiles <= 4096 else budgeted
@@ -150,34 +149,16 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
 
     if cfg.use_pallas:
         # ONE wide gather (feature table -> sorted pair domain, padded by
-        # a chunk of dummy rows for the kernel's DMA overrun), fused by
-        # XLA into the q-table build (tile-local quadratic-form rows; the
-        # blend kernels consume ONLY this table). The blend kernel
-        # relocates each aligned block from the sorted buffer with a
-        # dynamic-offset DMA — no materialized aligned layout. The table
-        # gather's VJP is the single per-gaussian reduction (the
-        # reference backward's atomicAdd, made deterministic: segsum's
-        # sort + pairwise tree — ~2x the XLA scatter-add), reached
-        # through the blend VJP's dL/dq rows + the elementwise q chain.
-        m = tiles.sorted_gid.shape[0]
-        pad_len = 2 * cfg.blend_chunk + (-m) % cfg.blend_chunk
-        gid_pad = jnp.concatenate([
-            tiles.sorted_gid,
-            jnp.full((pad_len,), n, jnp.int32)])
-        tile_pad = jnp.concatenate([
-            tiles.sorted_tile,
-            jnp.full((pad_len,), cfg.num_tiles, jnp.int32)])
-        live_pad = jnp.concatenate([
-            tiles.in_count, jnp.zeros((pad_len,), bool)])
-        feat_sorted = gather_rows(feat, gid_pad)         # (m_pad, F)
-        qtab = tile_blend.build_qtable(feat_sorted, tile_pad, live_pad, gx)
-        # barrier: otherwise XLA fuses gather+build into the transpose
-        # and re-executes them once per feature row (16x the traffic)
-        qtab = jax.lax.optimization_barrier(qtab)
-        color_t, final_t_t, ncon_t = tile_blend.blend_sorted_pallas(
-            qtab.T, tiles.block_tile, tiles.aligned_starts,
-            tiles.starts, tiles.counts, tiles.sorted_shift,
-            gx, cfg.num_tiles, p_cap, cfg.blend_chunk,
+        # a chunk of dummy rows for the kernel's DMA overrun) feeding the
+        # blend kernel's q-table. The blend kernel relocates each aligned
+        # block from the sorted buffer with a dynamic-offset DMA — no
+        # materialized aligned layout. Gradients: the blend VJP's
+        # backward kernel chains dL/dq -> dL/d(features) in-register and
+        # the table gather's VJP is the single per-gaussian reduction
+        # (the reference backward's atomicAdd, made deterministic:
+        # segsum's sort + pairwise tree).
+        color_t, final_t_t, ncon_t = tile_blend.blend_sorted_table(
+            feat, tiles, gx, cfg.num_tiles, p_cap, cfg.blend_chunk, n,
             with_contrib=cfg.with_contrib)
     else:
         lists = binning.tile_id_lists(tiles, cfg.num_tiles, cfg.max_per_tile, n)

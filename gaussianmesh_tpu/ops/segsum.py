@@ -18,9 +18,13 @@ same forward (a wide row gather) and rewrites the backward as:
      128 contribute their extra heads (rank % 128 == 0) through a tiny
      compacted scatter-add (<= m/128 rows)
 
-Deterministic (fixed reduction tree), and ~2x the speed of the XLA
-scatter at bench scale. Head pass count 7 covers segments <= 128; the
-compacted pass makes any length exact.
+Deterministic (fixed reduction tree) and faster than the XLA scatter at
+bench scale. In-segment ranks come from a cummax over head flags (no
+scatter); the per-DESTINATION head positions need a searchsorted over
+the sorted ids — ~13 ms at bench scale (round-3 prefix profile), so
+`gather_rows_counted` takes the per-destination multiplicities from the
+caller (the pair expansion knows them exactly) and replaces the search
+with one exclusive cumsum.
 """
 
 from __future__ import annotations
@@ -48,26 +52,26 @@ def gather_rows(table: jax.Array, idx: jax.Array,
     return table[idx]
 
 
-def _fwd(table, idx, assume_grouped):
-    return table[idx], (idx, table.shape[0])
+@jax.custom_vjp
+def gather_rows_counted(table: jax.Array, idx: jax.Array,
+                        counts: jax.Array) -> jax.Array:
+    """`gather_rows` with caller-supplied destination multiplicities:
+    counts (R,) int32 with counts[t] == #{j: idx[j] == t} EXACTLY (the
+    contract is unchecked — wrong counts misalign the whole reduction).
+    Skips the backward's per-destination searchsorted: head positions
+    are an exclusive cumsum of counts."""
+    return table[idx]
 
 
-def _bwd(assume_grouped, res, d):
-    idx, n_rows = res
-    m = idx.shape[0]
-    if assume_grouped:
-        sg, ds = idx, d
-    else:
-        sg, perm = jax.lax.sort(
-            (idx, jnp.arange(m, dtype=jnp.int32)), num_keys=1,
-            is_stable=True)
-        ds = d[perm]
-
-    # first sorted position of each destination row (queries 0..n_rows)
-    from gaussianmesh_tpu.ops.binning import _segment_const, _tile_starts
-    starts = _tile_starts(sg, n_rows)
-    seg_start = _segment_const(starts[:n_rows], starts[:n_rows], m)
-    rank = jnp.arange(m, dtype=jnp.int32) - seg_start
+def _reduce_grouped(sg, ds, head_pos_padded, n_rows):
+    """Tree-reduce gid-grouped rows ds (m, F) by key sg (m,) into
+    (n_rows, F). head_pos_padded (n_rows,): first grouped position of
+    each destination, == m for empty destinations."""
+    m = sg.shape[0]
+    i_idx = jnp.arange(m, dtype=jnp.int32)
+    flag = jnp.concatenate([jnp.ones((1,), bool), sg[1:] != sg[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(flag, i_idx, 0))
+    rank = i_idx - seg_start
 
     x = ds
     for j in range(_TREE_PASSES):
@@ -84,8 +88,7 @@ def _bwd(assume_grouped, res, d):
     # per-destination sums: the rank-0 head of each segment (empty
     # segments hit a zero pad row)
     zpad = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)])
-    head_pos = jnp.where(starts[:n_rows] < starts[1:], starts[:n_rows], m)
-    dtable = zpad[head_pos]                              # (n_rows, F)
+    dtable = zpad[head_pos_padded]                       # (n_rows, F)
 
     # segments longer than _HEAD: add their non-first heads through a
     # compacted scatter (static cap m // _HEAD + 1 rows)
@@ -95,7 +98,49 @@ def _bwd(assume_grouped, res, d):
     evals = zpad[epos]
     erow = jnp.where(epos < m, sg[jnp.minimum(epos, m - 1)], n_rows)
     dtable = dtable.at[erow].add(evals, mode="drop")
-    return dtable, None
+    return dtable
+
+
+def _fwd(table, idx, assume_grouped):
+    return table[idx], (idx, table.shape[0])
+
+
+def _bwd(assume_grouped, res, d):
+    idx, n_rows = res
+    m = idx.shape[0]
+    if assume_grouped:
+        sg, ds = idx, d
+    else:
+        sg, perm = jax.lax.sort(
+            (idx, jnp.arange(m, dtype=jnp.int32)), num_keys=1,
+            is_stable=True)
+        ds = d[perm]
+
+    # first sorted position of each destination row (queries 0..n_rows)
+    from gaussianmesh_tpu.ops.binning import _tile_starts
+    starts = _tile_starts(sg, n_rows)
+    head_pos = jnp.where(starts[:n_rows] < starts[1:], starts[:n_rows], m)
+    return _reduce_grouped(sg, ds, head_pos, n_rows), None
 
 
 gather_rows.defvjp(_fwd, _bwd)
+
+
+def _fwd_counted(table, idx, counts):
+    return table[idx], (idx, counts, table.shape[0])
+
+
+def _bwd_counted(res, d):
+    idx, counts, n_rows = res
+    m = idx.shape[0]
+    sg, perm = jax.lax.sort(
+        (idx, jnp.arange(m, dtype=jnp.int32)), num_keys=1, is_stable=True)
+    ds = d[perm]
+    starts = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(counts).astype(jnp.int32)])[:n_rows]
+    head_pos = jnp.where(counts > 0, starts, m)
+    return _reduce_grouped(sg, ds, head_pos, n_rows), None, None
+
+
+gather_rows_counted.defvjp(_fwd_counted, _bwd_counted)

@@ -20,8 +20,9 @@ Two implementations with identical math:
   * `blend_sorted_pallas` — Pallas TPU kernels (forward + custom VJP
     backward) streaming the compacted, tile-grouped pair buffer in
     chunk-aligned blocks, flash-attention style: carried transmittance in
-    scratch, early exit when the whole tile is saturated, per-tile chunk
-    skipping driven by scalar-prefetched ranges, and per-chunk
+    scratch, segmented (tile-boundary-resetting) transmittance scans over
+    G = chunk/64 alignment granules per grid step, per-block chunk
+    skipping driven by scalar-prefetched ranges, and per-block entry
     transmittance checkpoints so the backward re-derives exp factors
     without a reverse-sweep data dependency.
 
@@ -69,9 +70,6 @@ def pack_features(mean2d, conic, opacity, rgb, valid) -> jax.Array:
     return feat
 
 
-
-
-
 def _pixel_coords(tile_x, tile_y):
     """Pixel centers of a tile as two (PIX, 1) columns (row-major in-tile)."""
     p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
@@ -103,8 +101,6 @@ def _pix_basis() -> jax.Array:
     zero = jnp.zeros_like(px)
     return jnp.concatenate(
         [one, px, py, px * px, px * py, py * py, zero, zero], axis=1)
-
-
 
 
 def _alphas(feat, px, py):
@@ -169,33 +165,34 @@ def blend_tiles_jnp(tile_feats: jax.Array, grid_x: int,
     return out[:, 0:3], out[:, 3], out[:, 4]
 
 
-# -----------------------------------------------------------------------------
-# (The earlier flat-grid kernels that required a MATERIALIZED
-# chunk-aligned pair buffer were removed: the sorted-domain kernels
-# below subsume them with one fewer HBM-sized gather per step.)
-
 NCONTRIB_ROW = 4
 
 
 # ---------------------------------------------------------------------------
-# Sorted-domain blend v2: half-granular alignment, two tiles per block.
+# Sorted-domain blend v4: fixed 64-lane alignment granules, generic chunk.
 #
 # The aligned pair layout exists only so each compute block belongs to
-# known tiles; v1 aligned every tile's range to the full 128-lane chunk,
-# wasting 44% of lanes at 1080p/100K (avg ~108 pairs/tile). v2 aligns to
-# HALF a chunk (64): each 128-lane grid step processes two independent
-# 64-lane halves, each owned by (possibly different) tiles — per-lane
-# tile origins let both halves share one (PIX, chunk) alpha/gate
-# evaluation; only the transmittance scans (which must reset at the
-# half boundary) and the color/gradient matmuls split per half. Lane
-# waste drops to <= 63 per tile (~25%), and the half-split scans are
-# CHEAPER than one full scan (2 x 6 half-width steps vs 7 full).
+# known tiles. The alignment granule is FIXED at binning.ALIGN = 64 (so
+# per-tile lane waste stays <= 63, ~25% at 1080p/100K) while each grid
+# step processes G = chunk // 64 granules at once. The per-block chain
+# (DMA wait + one MXU alpha contraction + log-step transmittance scans)
+# is what bounds the kernel — the round-2 ablation showed the math
+# content is nearly free and only the BLOCK COUNT moves the time — so
+# growing the chunk amortizes it: chunk=256 halves the grid vs the
+# earlier two-half/128 design at unchanged padding waste. Transmittance
+# scans are SEGMENTED (restarting where the owning tile changes between
+# granules), so all G granules share one scan regardless of how many
+# tiles they span.
 #
 # The feature buffer stays in HBM (memory_space=ANY); the kernel streams
-# each half's misaligned sorted-domain window itself with double-buffered
-# async DMA (one aligned chunk-wide fetch + a dynamic lane roll), and the
-# backward streams the two owning tiles' pixel-gradient rows the same
-# way.
+# each granule's sorted-domain window with its own double-buffered async
+# DMA (a 256-wide 128-aligned fetch + a dynamic lane roll to extract the
+# misaligned 64 lanes). Granules fetch INDEPENDENTLY: when max_per_tile
+# or the aligned-capacity clamp drops a tile's excess pairs, the sorted
+# gap between consecutive granules is unbounded, so a single fetch
+# anchored at the block's first granule would miss later ones. The
+# backward streams the owning tiles' pixel-gradient rows the same way
+# (deduped per distinct tile in the block).
 #
 # (An earlier revision expressed these reads as auto-pipelined views
 # with scalar-prefetch-dependent index maps. At 1080p/100K scale,
@@ -204,50 +201,100 @@ NCONTRIB_ROW = 4
 # streams by kernel ablation (round-2 log). Manual DMA with in-kernel
 # offset computation sidesteps the auto-pipeliner and is the
 # load-bearing fix; do not reintroduce scalar-dependent input index
-# maps here. Scalar-dependent OUTPUT maps showed no issue, and the two
-# per-half outputs below rely on that: a tile's halves alternate between
-# the even-half and odd-half output arrays, which are summed after the
-# call (rows never visited stay zero via input_output_aliases on zero
-# inputs).
+# maps here. Scalar-dependent OUTPUT maps showed no issue, and the G
+# per-granule outputs below rely on that: granule g of every block
+# writes output array g (block_tile is nondecreasing, so within a block
+# the G granules hit G distinct arrays even when they share tiles), and
+# the arrays are summed after the call — rows never visited stay zero
+# via input_output_aliases on zero inputs.)
 #
 # The backward walks in reverse with the same reads; its per-block
 # gradient writes stay on the ALIGNED domain (disjoint blocks, no
 # conflicts) and are mapped back to sorted rows by one inverse gather
-# (sorted_shift) — still scatter-free and deterministic. Per-half
-# transmittance checkpoints from the forward remove any reverse-sweep
-# data dependency.
+# (sorted_shift) — still scatter-free and deterministic. The per-block
+# entry-transmittance checkpoint from the forward removes any
+# reverse-sweep data dependency.
 # ---------------------------------------------------------------------------
 
+ALIGN = 64  # = binning.ALIGN; 8 sublane tiles in the transposed domain
 
-def _half_src0(h, half, ht_ref, astarts_ref, starts_ref, m_pad, num_tiles):
-    """Sorted-domain start column of aligned half h, clamped so the
-    2-chunk-wide aligned fetch stays in bounds (sentinel halves read pad
-    garbage that the live-lane mask zeroes; callers pad the buffer by
+
+_GWIN = 4 * ALIGN  # per-granule fetch window (two 128-lane tiles)
+
+
+def _granule_src0(h, ht_ref, astarts_ref, starts_ref, m_pad, num_tiles):
+    """Sorted-domain start column of aligned granule h, clamped so the
+    granule's _GWIN-wide fetch stays in bounds (sentinel granules read
+    pad garbage that the window mask zeroes; callers pad the buffer by
     >= 2 chunks past the live range)."""
     tc = jnp.clip(ht_ref[h], 0, num_tiles - 1)
-    src0 = starts_ref[tc] + h * half - astarts_ref[tc]
-    return jnp.clip(src0, 0, m_pad - 4 * half)
+    src0 = starts_ref[tc] + h * ALIGN - astarts_ref[tc]
+    return jnp.clip(src0, 0, m_pad - _GWIN)
 
 
-def _half_dma(feat_ref, buf, sem, slot, hi, src0, half):
-    """Async copy of the two CHUNK-aligned blocks covering the sorted
-    window [src0, src0 + half) into (slot, hi) — DMA offsets must be
-    multiples of the (8, 128) lane tiling, so the fetch is 2*chunk wide
-    at a chunk-aligned base and the misaligned extraction happens later
-    with one dynamic lane roll (`_half_extract`)."""
-    chunk = 2 * half
-    base = (src0 // chunk) * chunk
+def _granule_dma(feat_ref, buf, sem, slot, g, src0):
+    """Async copy of the two 128-lane-aligned tiles covering the sorted
+    window [src0, src0 + ALIGN) of one granule. Each granule fetches
+    INDEPENDENTLY: when max_per_tile (or the aligned-capacity clamp)
+    drops a tile's excess pairs, the sorted-domain gap between
+    consecutive granules' windows is unbounded — a shared block-wide
+    fetch anchored at the first granule misses later ones (the round-3
+    0.5-maxabs overflow bug). Misaligned extraction happens later with
+    one dynamic lane roll (`_granule_extract`)."""
+    base = (src0 // (2 * ALIGN)) * (2 * ALIGN)
     return pltpu.make_async_copy(
-        feat_ref.at[:, pl.ds(pl.multiple_of(base, chunk), 2 * chunk)],
-        buf.at[slot, hi], sem.at[slot, hi])
+        feat_ref.at[:, pl.ds(pl.multiple_of(base, 2 * ALIGN), _GWIN)],
+        buf.at[slot, g], sem.at[slot, g])
 
 
-def _half_extract(buf, slot, hi, src0, half):
-    """(FEAT, half) misaligned window from the fetched aligned pair."""
-    off = jax.lax.rem(src0, 2 * half)
-    shifted = pltpu.roll(buf[slot, hi], 4 * half - off, axis=1)
-    return shifted[:, :half]
+def _granule_extract(buf, slot, g, src0):
+    """(FEAT, ALIGN) misaligned granule window from its fetched pair."""
+    off = jax.lax.rem(src0, 2 * ALIGN)
+    shifted = pltpu.roll(buf[slot, g], _GWIN - off, axis=1)
+    return shifted[:, :ALIGN]
 
+
+def _gvec(vals, size):
+    """(size, 1) vector holding vals[g] on sublanes [g*ALIGN, (g+1)*ALIGN)."""
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0) // ALIGN
+    out = jnp.broadcast_to(vals[0], (size, 1))
+    for g in range(1, len(vals)):
+        out = jnp.where(gidx >= g, vals[g], out)
+    return out
+
+
+def _seg_cumprod(x, tvec):
+    """Inclusive cumprod down the sublane axis, restarting at segment
+    boundaries (rows where tvec changes). Log-step scan; the boundary
+    masks are (k, 1) sublane vectors broadcast over lanes."""
+    k = x.shape[0]
+    d = 1
+    while d < k:
+        shifted = jnp.concatenate([jnp.ones_like(x[:d]), x[:k - d]], axis=0)
+        tsh = jnp.concatenate([jnp.full_like(tvec[:d], -1), tvec[:k - d]],
+                              axis=0)
+        x = jnp.where(tvec == tsh, x * shifted, x)
+        d *= 2
+    return x
+
+
+def _seg_sufsum(x, tvec):
+    """Inclusive suffix-cumsum up the sublane axis, restarting at segment
+    boundaries."""
+    k = x.shape[0]
+    d = 1
+    while d < k:
+        shifted = jnp.concatenate([x[d:], jnp.zeros_like(x[:d])], axis=0)
+        tsh = jnp.concatenate([tvec[d:], jnp.full_like(tvec[:d], -2)], axis=0)
+        x = jnp.where(tvec == tsh, x + shifted, x)
+        d *= 2
+    return x
+
+
+def _shift_one_sublane(x, fill):
+    """Shift down by one sublane, filling row 0 with `fill`."""
+    return jnp.concatenate(
+        [jnp.full_like(x[:1], fill), x[:-1]], axis=0)
 
 
 _DEAD_Q0 = -1e30  # exp(power) == 0 exactly for dead lanes
@@ -256,21 +303,25 @@ _DEAD_Q0 = -1e30  # exp(power) == 0 exactly for dead lanes
 # precomputed on the XLA side fused with the table gather
 # (build_qtable): rows 0..5 are the tile-local quadratic form (power =
 # Q · pixel monomials), with opacity and the live mask FOLDED INTO q0
-# (q0 += log op; dead lanes -1e30 so raw == 0 exactly); 6..8 are rgb.
-# The custom-VJP boundary sits AT this table: the backward kernel
-# returns dL/dq rows + dL/drgb directly (the MXU moment matrix), and
-# XLA autodiff chains q -> (mean2d, conic, opacity) elementwise —
-# no in-kernel gradient reconstruction, no per-lane tile bookkeeping.
+# (q0 += log op; dead lanes -1e30 so raw == 0 exactly); 6..8 are rgb;
+# rows 9..11 carry the tile-local mean (x, y) and the opacity so the
+# BACKWARD kernel can chain dL/dq -> dL/d(features) in-register and emit
+# pack_features-layout gradient rows directly — the q -> feature chain
+# costs ~20 lane ops inside the kernel instead of an (m, 16)-domain XLA
+# backward with its transposes and residual materialization (measured
+# 28 ms/step of the round-2 budget; tools/profile_raster.py --prefix).
 ROW_Q0, ROW_Q1, ROW_Q2, ROW_Q3, ROW_Q4, ROW_Q5 = 0, 1, 2, 3, 4, 5
 # rgb occupies rows 6..8 == ROW_R..ROW_B (shared with the flat layout)
+ROW_QX, ROW_QY, ROW_QOP = 9, 10, 11
 
 
 def build_qtable(feat_sorted: jax.Array, sorted_tile: jax.Array,
                  live: jax.Array, grid_x: int) -> jax.Array:
     """(m, FEAT) pack_features-layout rows (already gathered to the
     sorted pair domain) + per-pair owning tile + live mask -> (m, FEAT)
-    q-table. Differentiable in feat_sorted; tile ids and the mask are
-    static routing (stop-gradient by construction).
+    q-table. Tile ids and the mask are static routing (stop-gradient by
+    construction); differentiation happens through the hand-written VJP
+    of `blend_sorted_features`, never through this function.
 
     Semantics note: the reference's `power > 0 -> skip` guard
     (forward.cu:330-335) is dropped here. power > 0 can only arise from
@@ -287,7 +338,8 @@ def build_qtable(feat_sorted: jax.Array, sorted_tile: jax.Array,
     cb = feat_sorted[:, ROW_CB]
     cc = feat_sorted[:, ROW_CC]
     live = live & (feat_sorted[:, ROW_REAL] > 0.0)
-    log_op = jnp.log(jnp.maximum(feat_sorted[:, ROW_OP], 1e-30))
+    op = feat_sorted[:, ROW_OP]
+    log_op = jnp.log(jnp.maximum(op, 1e-30))
     q0 = -0.5 * (ca * x * x + cc * y * y) - cb * x * y + log_op
     q0 = jnp.where(live, q0, _DEAD_Q0)
     zero = jnp.zeros_like(x)
@@ -295,7 +347,7 @@ def build_qtable(feat_sorted: jax.Array, sorted_tile: jax.Array,
         [q0, ca * x + cb * y, cb * x + cc * y,
          -0.5 * ca, -cb, -0.5 * cc,
          feat_sorted[:, ROW_R], feat_sorted[:, ROW_G], feat_sorted[:, ROW_B],
-         zero, zero, zero, zero, zero, zero, zero], axis=-1)
+         x, y, op, zero, zero, zero, zero], axis=-1)
 
 
 def _raw_alphas_T(qwin):
@@ -308,7 +360,7 @@ def _raw_alphas_T(qwin):
     op * exp(power) with zero extra vector work (opacity and the live
     mask are folded into q0), and raw == 0.0 exactly on dead lanes. The
     transposed orientation comes straight out of the MXU — no
-    transposes anywhere — and makes the half-chunk granularity FREE:
+    transposes anywhere — and makes the granule alignment FREE:
     sublane slices at multiples of 8 are tile-aligned, unlike sub-128
     lane slices which waste full vector slots (measured 2x regression,
     round-2 log).
@@ -319,387 +371,416 @@ def _raw_alphas_T(qwin):
     return jnp.exp(power_t)
 
 
-def _shift_one_sublane(x, fill):
-    """Shift down by one sublane, filling row 0 with `fill`."""
-    return jnp.concatenate(
-        [jnp.full_like(x[:1], fill), x[:-1]], axis=0)
-
-
-def _cumprod_sublanes(x):
-    """Inclusive cumprod down the sublane axis (log-step scan)."""
-    k = x.shape[0]
-    d = 1
-    while d < k:
-        x = x * jnp.concatenate([jnp.ones_like(x[:d]), x[:k - d]], axis=0)
-        d *= 2
-    return x
-
-
-def _cumsum_sublanes(x):
-    """Inclusive cumsum down the sublane axis (log-step scan)."""
-    k = x.shape[0]
-    d = 1
-    while d < k:
-        x = x + jnp.concatenate([jnp.zeros_like(x[:d]), x[:k - d]], axis=0)
-        d *= 2
-    return x
-
-
-def _window_mask(h0, half, ht_ref, astarts_ref, counts_ref, num_tiles):
-    """(chunk, 1) sublane mask: lane i of half h is live iff its sorted
+def _window_mask(h0, G, ht_ref, astarts_ref, counts_ref, num_tiles):
+    """(chunk, 1) sublane mask: row i of granule h is live iff its sorted
     position is within the owning tile's granted count. A granule's
-    64-wide sorted window OVERRUNS into the next tile's pairs (their own
-    q0 is live — liveness is positional, not per-pair), so this mask is
-    load-bearing: without it the tail lanes double-blend the next tile's
+    sorted window OVERRUNS into the next tile's pairs (their own q0 is
+    live — liveness is positional, not per-pair), so this mask is
+    load-bearing: without it the tail rows double-blend the next tile's
     splats into the wrong tile."""
     def rem(h):
         tc = jnp.clip(ht_ref[h], 0, num_tiles - 1)
-        r = counts_ref[tc] - (h * half - astarts_ref[tc])
+        r = counts_ref[tc] - (h * ALIGN - astarts_ref[tc])
         return jnp.where(ht_ref[h] < num_tiles, r, 0)
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
-    return jnp.concatenate([pos < rem(h0), pos < rem(h0 + 1)], axis=0)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (ALIGN, 1), 0)
+    return jnp.concatenate([pos < rem(h0 + g) for g in range(G)], axis=0)
 
 
 def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                             m_pad: int, with_contrib: bool):
-    half = chunk // 2
+    G = chunk // ALIGN
 
     def kernel(ht_ref, astarts_ref, counts_ref, starts_ref, feat_ref,
-               zA_ref, zB_ref, outA_ref, outB_ref, ckpt_ref, carry, buf,
-               sem):
+               *rest):
+        # rest = G aliased zero inputs, G outputs, ckpt, scratch
+        outs = rest[G:2 * G]
+        ckpt_ref = rest[2 * G]
+        carry, buf, sem = rest[2 * G + 1:]
         b = pl.program_id(0)
         pb = pl.num_programs(0)
-        h0 = 2 * b
-        t0 = ht_ref[h0]
-        t1 = ht_ref[h0 + 1]
+        h0 = G * b
+        tg = [ht_ref[h0 + g] for g in range(G)]
+        t0 = tg[0]
+        t_after = ht_ref[h0 + G]
         prev_t = jnp.where(b > 0, ht_ref[jnp.maximum(h0 - 1, 0)], -1)
-        prev_even = jnp.where(b > 0, ht_ref[jnp.maximum(h0 - 2, 0)], -1)
-        next_t = ht_ref[h0 + 2]
 
         def src0_of(h):
-            return _half_src0(h, half, ht_ref, astarts_ref, starts_ref,
-                              m_pad, num_tiles)
+            return _granule_src0(h, ht_ref, astarts_ref, starts_ref,
+                                 m_pad, num_tiles)
 
-        # double-buffered stream; sentinel halves skip their fetch (the
-        # start and the wait are guarded by the SAME scalar condition,
-        # so semaphore bookkeeping stays consistent: block_tile is
-        # nondecreasing, so a sentinel t0 implies sentinel t1 and
-        # sentinel everything after)
+        # double-buffered granule streams; sentinel blocks skip their
+        # fetches (the starts and the waits are guarded by the SAME
+        # scalar condition — block_tile is nondecreasing, so a sentinel
+        # first granule implies sentinel everything after)
         @pl.when((b == 0) & (t0 < num_tiles))
         def _prologue():
-            _half_dma(feat_ref, buf, sem, 0, 0, src0_of(0), half).start()
-            _half_dma(feat_ref, buf, sem, 0, 1, src0_of(1), half).start()
+            for g in range(G):
+                _granule_dma(feat_ref, buf, sem, 0, g, src0_of(g)).start()
 
-        @pl.when((b + 1 < pb) & (ht_ref[h0 + 2] < num_tiles))
+        @pl.when((b + 1 < pb) & (t_after < num_tiles))
         def _prefetch():
-            nslot = (b + 1) % 2
-            _half_dma(feat_ref, buf, sem, nslot, 0, src0_of(h0 + 2),
-                      half).start()
-            _half_dma(feat_ref, buf, sem, nslot, 1, src0_of(h0 + 3),
-                      half).start()
+            for g in range(G):
+                _granule_dma(feat_ref, buf, sem, (b + 1) % 2, g,
+                             src0_of(h0 + G + g)).start()
 
         slot = b % 2
 
         # capacity blocks past the live range: no fetch, no math, no write
         @pl.when(t0 < num_tiles)
         def _live_block():
-            _half_dma(feat_ref, buf, sem, slot, 0, src0_of(h0), half).wait()
-            _half_dma(feat_ref, buf, sem, slot, 1, src0_of(h0 + 1),
-                      half).wait()
-            # first visit of each output row: zero it (rows never visited
-            # keep the aliased zero input)
-            @pl.when((t0 != prev_even) & (t0 < num_tiles))
-            def _initA():
-                outA_ref[...] = jnp.zeros_like(outA_ref)
+            for g in range(G):
+                _granule_dma(feat_ref, buf, sem, slot, g,
+                             src0_of(h0 + g)).wait()
 
-            @pl.when((t1 != prev_t) & (t1 < num_tiles))
-            def _initB():
-                outB_ref[...] = jnp.zeros_like(outB_ref)
+            # first visit of each output row: zero it (rows never
+            # visited keep the aliased zero input)
+            for g in range(G):
+                prev_same = jnp.where(
+                    b > 0, ht_ref[jnp.maximum(h0 + g - G, 0)], -1)
 
-            # ---- both halves in one MXU contraction ----
-            featw = jnp.concatenate(
-                [_half_extract(buf, slot, 0, src0_of(h0), half),
-                 _half_extract(buf, slot, 1, src0_of(h0 + 1), half)], axis=1)
+                @pl.when((tg[g] != prev_same) & (tg[g] < num_tiles))
+                def _init(g=g):
+                    outs[g][...] = jnp.zeros_like(outs[g])
+
+            # ---- all granules in one MXU contraction ----
+            parts = [_granule_extract(buf, slot, g, src0_of(h0 + g))
+                     for g in range(G)]
+            featw = jnp.concatenate(parts, axis=1)        # (FEAT, chunk)
 
             # TRANSPOSED domain from here: pairs on sublanes, pixels on lanes
-            raw_t = _raw_alphas_T(featw)                      # (chunk, PIX)
-            wmask = _window_mask(h0, half, ht_ref, astarts_ref, counts_ref,
+            raw_t = _raw_alphas_T(featw)                  # (chunk, PIX)
+            wmask = _window_mask(h0, G, ht_ref, astarts_ref, counts_ref,
                                  num_tiles)
             alpha_t = jnp.where((raw_t >= ALPHA_MIN) & wmask,
                                 jnp.minimum(raw_t, ALPHA_MAX), 0.0)
 
-            # ---- per-half transmittance chains (sublane scans; sublane
-            # slices at multiples of 8 are tile-aligned and cost-free) ----
+            # ---- segmented transmittance chain over all granules ----
+            tvec = _gvec(tg, chunk)                       # (chunk, 1)
+            om = 1.0 - alpha_t
+            cum = _seg_cumprod(om, tvec)
+            tprev = jnp.concatenate(
+                [jnp.full_like(tvec[:1], -1), tvec[:-1]], axis=0)
+            cum_excl = jnp.where(tvec == tprev,
+                                 _shift_one_sublane(cum, 1.0), 1.0)
+
             s_prev = carry[0, :]
-            sA_in = jnp.where(t0 != prev_t, jnp.ones_like(s_prev), s_prev)
-            ckpt_ref[0, 0, :] = sA_in
+            s0 = jnp.where(t0 == prev_t, s_prev, jnp.ones_like(s_prev))
+            ckpt_ref[0, 0, :] = s0
+            srow = jnp.where(tvec == t0, s0[None, :], 1.0)  # (chunk, PIX)
+            s = srow * cum
+            incl = s >= T_EPS
+            w = alpha_t * (srow * cum_excl) * incl
+            carry[0, :] = s[chunk - 1]
 
-            omA = 1.0 - alpha_t[:half]
-            cumA = _cumprod_sublanes(omA)
-            sA = sA_in[None, :] * cumA
-            inclA = sA >= T_EPS
-            wA = alpha_t[:half] * (sA_in[None, :]
-                                   * _shift_one_sublane(cumA, 1.0)) * inclA
-            sA_end = sA[half - 1]
+            # ---- per-granule color accumulation ----
+            for g in range(G):
+                gl = slice(g * ALIGN, (g + 1) * ALIGN)
 
-            sB_in = jnp.where(t1 != t0, jnp.ones_like(sA_end), sA_end)
-            ckpt_ref[0, 1, :] = sB_in
-
-            omB = 1.0 - alpha_t[half:]
-            cumB = _cumprod_sublanes(omB)
-            sB = sB_in[None, :] * cumB
-            inclB = sB >= T_EPS
-            wB = alpha_t[half:] * (sB_in[None, :]
-                                   * _shift_one_sublane(cumB, 1.0)) * inclB
-            carry[0, :] = sB[half - 1]
-
-            # ---- per-half color accumulation ----
-            @pl.when(t0 < num_tiles)
-            def _accumA():
-                colors = jax.lax.dot_general(
-                    featw[ROW_R:ROW_B + 1, :half], wA, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)       # (3, PIX)
-                outA_ref[0, 0:3, :] += colors
-
-            @pl.when(t1 < num_tiles)
-            def _accumB():
-                colors = jax.lax.dot_general(
-                    featw[ROW_R:ROW_B + 1, half:], wB, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                outB_ref[0, 0:3, :] += colors
+                @pl.when(tg[g] < num_tiles)
+                def _accum(g=g, gl=gl):
+                    colors = jax.lax.dot_general(
+                        featw[ROW_R:ROW_B + 1, gl], w[gl],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # (3, PIX)
+                    outs[g][0, 0:3, :] += colors
 
             # ---- final_t / n_contrib bookkeeping ----
-            ftA_reset = jnp.where(t0 != prev_t, jnp.ones_like(s_prev),
-                                  carry[1, :])
-            ftA = ftA_reset * jnp.min(jnp.where(inclA, cumA, 1.0), axis=0)
-            if with_contrib:
-                t0c = jnp.clip(t0, 0, num_tiles - 1)
-                ncA_reset = jnp.where(t0 != prev_t, jnp.zeros_like(s_prev),
-                                      carry[2, :])
-                rankA = (jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
-                         + (h0 * half - astarts_ref[t0c]) + 1
-                         ).astype(jnp.float32)
-                ncA = jnp.maximum(ncA_reset, jnp.max(
-                    jnp.where(inclA & (alpha_t[:half] > 0.0), rankA, 0.0),
-                    axis=0))
-            else:
-                ncA = jnp.zeros_like(s_prev)
+            # cum restarts per tile within the block, so a tile's
+            # included-(1-alpha) product so far is a RUNNING MIN over its
+            # granules (excluded rows contribute 1; included rows form a
+            # prefix of the segment and cum is decreasing along it)
+            ft_prev = carry[1, :]
+            nc_prev = carry[2, :]
+            one = jnp.ones_like(ft_prev)
+            ft_in = jnp.where(t0 == prev_t, ft_prev, one)
+            nc_in = jnp.where(t0 == prev_t, nc_prev, jnp.zeros_like(one))
+            M = None
+            NC = None
+            for g in range(G):
+                gl = slice(g * ALIGN, (g + 1) * ALIGN)
+                m_g = jnp.min(jnp.where(incl[gl], cum[gl], 1.0), axis=0)
+                if g == 0:
+                    M = m_g
+                else:
+                    M = jnp.where(tg[g] == tg[g - 1], jnp.minimum(M, m_g),
+                                  m_g)
+                if with_contrib:
+                    tgc = jnp.clip(tg[g], 0, num_tiles - 1)
+                    rank = (jax.lax.broadcasted_iota(
+                        jnp.int32, (ALIGN, 1), 0)
+                        + ((h0 + g) * ALIGN - astarts_ref[tgc]) + 1
+                    ).astype(jnp.float32)
+                    nc_g = jnp.max(
+                        jnp.where(incl[gl] & (alpha_t[gl] > 0.0), rank, 0.0),
+                        axis=0)
+                    if g == 0:
+                        base_nc = nc_in
+                    else:
+                        base_nc = jnp.where(tg[g] == tg[g - 1], NC,
+                                            jnp.zeros_like(one))
+                    NC = jnp.maximum(base_nc, nc_g)
+                else:
+                    NC = jnp.zeros_like(one)
+                entry = jnp.where(tg[g] == t0, ft_in, one)
+                R_g = entry * M
+                nxt = tg[g + 1] if g + 1 < G else t_after
 
-            @pl.when((t1 != t0) & (t0 < num_tiles))
-            def _closeA():
-                outA_ref[0, 3, :] = ftA
-                outA_ref[0, NCONTRIB_ROW, :] = ncA
-
-            ftB_reset = jnp.where(t1 != t0, jnp.ones_like(s_prev), ftA)
-            ftB = ftB_reset * jnp.min(jnp.where(inclB, cumB, 1.0), axis=0)
-            carry[1, :] = ftB
-            if with_contrib:
-                t1c = jnp.clip(t1, 0, num_tiles - 1)
-                ncB_reset = jnp.where(t1 != t0, jnp.zeros_like(s_prev), ncA)
-                rankB = (jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
-                         + ((h0 + 1) * half - astarts_ref[t1c]) + 1
-                         ).astype(jnp.float32)
-                ncB = jnp.maximum(ncB_reset, jnp.max(
-                    jnp.where(inclB & (alpha_t[half:] > 0.0), rankB, 0.0),
-                    axis=0))
-            else:
-                ncB = jnp.zeros_like(s_prev)
-            carry[2, :] = ncB
-
-            @pl.when((next_t != t1) & (t1 < num_tiles))
-            def _closeB():
-                outB_ref[0, 3, :] = ftB
-                outB_ref[0, NCONTRIB_ROW, :] = ncB
+                @pl.when((nxt != tg[g]) & (tg[g] < num_tiles))
+                def _close(g=g, R_g=R_g, NC=NC):
+                    outs[g][0, 3, :] = R_g
+                    outs[g][0, NCONTRIB_ROW, :] = NC
+            carry[1, :] = R_g
+            carry[2, :] = NC
 
     return kernel
 
 
 def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                             m_pad: int):
-    half = chunk // 2
+    G = chunk // ALIGN
 
     def kernel(ht_ref, astarts_ref, counts_ref, starts_ref, feat_ref,
                g_hbm_ref, ckpt_ref, dpart_ref, qcarry, buf, sem, gbuf,
                gsem):
         pb = pl.num_programs(0)
         b = pb - 1 - pl.program_id(0)                  # reverse walk
-        h0 = 2 * b
-        t0 = ht_ref[h0]
-        t1 = ht_ref[h0 + 1]
-        later_t = ht_ref[h0 + 2]
+        h0 = G * b
+        tg = [ht_ref[h0 + g] for g in range(G)]
+        t0 = tg[0]
+        t_after = ht_ref[h0 + G]
 
         def src0_of(h):
-            return _half_src0(h, half, ht_ref, astarts_ref, starts_ref,
-                              m_pad, num_tiles)
+            return _granule_src0(h, ht_ref, astarts_ref, starts_ref,
+                                 m_pad, num_tiles)
 
-        def g_dma(slot, hi, h):
+        def g_dma(slot, g, h):
             tc = jnp.clip(ht_ref[h], 0, num_tiles - 1)
             return pltpu.make_async_copy(
-                g_hbm_ref.at[tc], gbuf.at[slot, hi], gsem.at[slot, hi])
+                g_hbm_ref.at[tc], gbuf.at[slot, g], gsem.at[slot, g])
 
         def start_block(bb, slot):
-            """Issue block bb's streams: 2 q-table windows + the owning
-            tiles' pixel-gradient rows (deduped when both halves belong
-            to the same tile — ~half of all blocks at 1080p/100K)."""
-            hh = 2 * bb
-            _half_dma(feat_ref, buf, sem, slot, 0, src0_of(hh), half).start()
-            _half_dma(feat_ref, buf, sem, slot, 1, src0_of(hh + 1),
-                      half).start()
+            """Issue block bb's streams: the per-granule q-table windows
+            + the owning tiles' pixel-gradient rows (deduped per
+            distinct tile)."""
+            hh = G * bb
+            for g in range(G):
+                _granule_dma(feat_ref, buf, sem, slot, g,
+                             src0_of(hh + g)).start()
             g_dma(slot, 0, hh).start()
-
-            @pl.when(ht_ref[hh + 1] != ht_ref[hh])
-            def _gB():
-                g_dma(slot, 1, hh + 1).start()
+            for g in range(1, G):
+                @pl.when(ht_ref[hh + g] != ht_ref[hh + g - 1])
+                def _(g=g):
+                    g_dma(slot, g, hh + g).start()
 
         # reverse-order double-buffered streams; sentinel blocks skip
         # (start and wait guarded by the same scalar conditions)
         slot = b % 2
+
         @pl.when((b == pb - 1) & (t0 < num_tiles))
         def _prologue():
             start_block(b, slot)
 
-        @pl.when((b > 0) & (ht_ref[h0 - 2] < num_tiles))
+        @pl.when((b > 0) & (ht_ref[jnp.maximum(h0 - G, 0)] < num_tiles))
         def _prefetch():
             start_block(b - 1, (b - 1) % 2)
 
         @pl.when(t0 < num_tiles)
         def _live_block():
-            _half_dma(feat_ref, buf, sem, slot, 0, src0_of(h0), half).wait()
-            _half_dma(feat_ref, buf, sem, slot, 1, src0_of(h0 + 1),
-                      half).wait()
+            for g in range(G):
+                _granule_dma(feat_ref, buf, sem, slot, g,
+                             src0_of(h0 + g)).wait()
             g_dma(slot, 0, h0).wait()
+            for g in range(1, G):
+                @pl.when(tg[g] != tg[g - 1])
+                def _(g=g):
+                    g_dma(slot, g, h0 + g).wait()
 
-            @pl.when(t1 != t0)
-            def _gBwait():
-                g_dma(slot, 1, h0 + 1).wait()
-
-            # ---- combined alpha evaluation (identical to forward) ----
-            featw = jnp.concatenate(
-                [_half_extract(buf, slot, 0, src0_of(h0), half),
-                 _half_extract(buf, slot, 1, src0_of(h0 + 1), half)], axis=1)
-            raw_t = _raw_alphas_T(featw)                       # (chunk, PIX)
-            wmask = _window_mask(h0, half, ht_ref, astarts_ref, counts_ref,
+            # ---- alpha evaluation (identical to forward) ----
+            parts = [_granule_extract(buf, slot, g, src0_of(h0 + g))
+                     for g in range(G)]
+            featw = jnp.concatenate(parts, axis=1)        # (FEAT, chunk)
+            raw_t = _raw_alphas_T(featw)                  # (chunk, PIX)
+            wmask = _window_mask(h0, G, ht_ref, astarts_ref, counts_ref,
                                  num_tiles)
-            # gradient-live: dead lanes have raw == 0 (< ALPHA_MIN), capped
-            # splats are masked (consistent with forward's capped min)
-            glive = (raw_t >= ALPHA_MIN) & (raw_t <= ALPHA_MAX) & wmask
-            alpha_t = jnp.where(glive, raw_t, 0.0)
+            fmask = (raw_t >= ALPHA_MIN) & wmask          # forward-live
+            # gradient-live: capped splats are masked (consistent with
+            # forward's capped min) but their CAPPED alpha still feeds
+            # the transmittance reconstruction below
+            glive = fmask & (raw_t <= ALPHA_MAX)
+            alpha_t = jnp.where(fmask, jnp.minimum(raw_t, ALPHA_MAX), 0.0)
 
-            # when both halves share a tile, half B's gradient rows were
-            # never fetched — read half A's buffer for both
-            sameAB = t1 == t0
+            # per-granule gradient rows: granules sharing a tile read the
+            # first fetch (later ones were never fetched)
+            gsels = [gbuf[slot, 0]]
+            for g in range(1, G):
+                gsels.append(jnp.where(tg[g] == tg[g - 1], gsels[-1],
+                                       gbuf[slot, g]))
 
-            def gsel(hi):
-                g0 = gbuf[slot, 0]
-                if hi == 0:
-                    return g0
-                return jnp.where(sameAB, g0, gbuf[slot, 1])
+            # ---- forward transmittance reconstruction ----
+            tvec = _gvec(tg, chunk)
+            om = 1.0 - alpha_t
+            cum = _seg_cumprod(om, tvec)
+            tprev = jnp.concatenate(
+                [jnp.full_like(tvec[:1], -1), tvec[:-1]], axis=0)
+            cum_excl = jnp.where(tvec == tprev,
+                                 _shift_one_sublane(cum, 1.0), 1.0)
+            s0 = ckpt_ref[0, 0, :]
+            srow = jnp.where(tvec == t0, s0[None, :], 1.0)
+            s_excl = srow * cum_excl
+            incl = (srow * cum) >= T_EPS
+            w = alpha_t * s_excl * incl
 
-            def half_grads(g8, alpha_h, s_in, rgb_h):
-                """Within-half gradient core, transposed domain.
-
-                alpha_h (half, PIX); g8 rows: 0..2 dL/dcolor,
-                3 g_final_t, 4 final_t; rgb_h (3, half) lane-oriented.
-                """
-                om = 1.0 - alpha_h
-                cum = _cumprod_sublanes(om)
-                s_excl = s_in[None, :] * _shift_one_sublane(cum, 1.0)
-                incl = (s_in[None, :] * cum) >= T_EPS
-                w = alpha_h * s_excl * incl
-
+            # ---- per-granule dldw / color cotangents (tile-owned g) ----
+            dldws = []
+            cws = []
+            for g in range(G):
+                gl = slice(g * ALIGN, (g + 1) * ALIGN)
                 # dldw[l, p] = sum_c rgb[c, l] g[c, p] — MXU, no transposes
-                dldw = jax.lax.dot_general(
-                    rgb_h, g8[0:3, :], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)       # (half, PIX)
-                a_mat = dldw * w
-                chunk_sum = jnp.sum(a_mat, axis=0)            # (PIX,)
-                suffix = chunk_sum[None, :] - _cumsum_sublanes(a_mat)
-                return w, om, incl, dldw, chunk_sum, suffix, s_excl
+                dldws.append(jax.lax.dot_general(
+                    featw[ROW_R:ROW_B + 1, gl], gsels[g][0:3, :],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))  # (ALIGN, PIX)
+                cws.append(jax.lax.dot_general(
+                    gsels[g][0:3, :], w[gl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))  # (3, ALIGN)
+            dldw = jnp.concatenate(dldws, axis=0)         # (chunk, PIX)
+            cw = jnp.concatenate(cws, axis=1)             # (3, chunk)
 
-            rgb3 = featw[ROW_R:ROW_B + 1]                      # (3, chunk)
-            gA8 = gsel(0)
-            gB8 = gsel(1)
+            # ---- segmented suffix accumulation of dL/dalpha ----
+            a_mat = dldw * w
+            suf_excl = _seg_sufsum(a_mat, tvec) - a_mat
 
-            # ---- half B first (reverse order within the block) ----
-            @pl.when((t1 < num_tiles) & (t1 != later_t))
-            def _initB():
-                qcarry[0, :] = gB8[3, :] * gB8[NCONTRIB_ROW, :]
+            # q tail per granule: qcarry for the tile continuing past the
+            # block (reverse walk: already accumulated), g_ft * final_t
+            # at the tile's last block
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) // ALIGN
+            tails = []
+            for g in range(G):
+                init_g = gsels[g][3, :] * gsels[g][NCONTRIB_ROW, :]
+                tails.append(jnp.where(tg[g] == t_after, qcarry[0, :],
+                                       init_g))
+            qtail = jnp.broadcast_to(tails[0][None, :], a_mat.shape)
+            for g in range(1, G):
+                qtail = jnp.where(gidx >= g, tails[g][None, :], qtail)
 
-            sB_in = ckpt_ref[0, 1, :]
-            wB, omB, inclB, dldwB, sumB, sufB, sexB = half_grads(
-                gB8, alpha_t[half:], sB_in, rgb3[:, half:])
-            qB = qcarry[0, :][None, :] + sufB
-            dalphaB = (dldwB * sexB - qB / omB) * inclB
+            q = suf_excl + qtail
+            dalpha = jnp.where(glive, (dldw * s_excl - q / om) * incl, 0.0)
+            dpower_t = dalpha * alpha_t                   # (chunk, PIX)
 
-            @pl.when(t1 == t0)
-            def _carryB():
-                qcarry[0, :] += sumB
+            # carry for the earlier block: total q of the tile at the
+            # block's START boundary
+            mask0 = tvec == t0
+            sum0 = jnp.sum(jnp.where(mask0, a_mat, 0.0), axis=0)
+            qcarry[0, :] = tails[0] + sum0
 
-            @pl.when((t0 < num_tiles) & (t0 != t1))
-            def _initA():
-                qcarry[0, :] = gA8[3, :] * gA8[NCONTRIB_ROW, :]
-
-            sA_in = ckpt_ref[0, 0, :]
-            wA, omA, inclA, dldwA, sumA, sufA, sexA = half_grads(
-                gA8, alpha_t[:half], sA_in, rgb3[:, :half])
-            qA = qcarry[0, :][None, :] + sufA
-            dalphaA = (dldwA * sexA - qA / omA) * inclA
-            qcarry[0, :] += sumA
-
-            # ---- per-lane cotangents for the whole block ----
-            dalpha_t = jnp.concatenate([dalphaA, dalphaB], axis=0)
-            dalpha_t = jnp.where(glive, dalpha_t, 0.0)
-            dpower_t = dalpha_t * alpha_t                      # (chunk, PIX)
-
-            # The VJP boundary is the q-TABLE, so the per-splat outputs
-            # are exactly two MXU contractions over the pixels: dL/dq_j =
-            # sum_p dpower basis_j (the moment matrix — rows 6..7 hit the
-            # basis' zero pad and vanish) and dL/drgb = g . w. XLA chains
-            # q -> (mean2d, conic, opacity) elementwise outside; the old
-            # in-kernel polynomial reconstruction is gone.
+            # Per-splat q cotangents are one MXU contraction over the
+            # pixels: dL/dq_j = sum_p dpower basis_j (the moment matrix —
+            # rows 6..7 hit the basis' zero pad and vanish). The q ->
+            # feature chain then runs HERE on (chunk,) lane vectors
+            # (rows 9..11 carry the exact tile-local x, y and opacity),
+            # so the kernel emits pack_features-LAYOUT gradient rows:
+            # no (m, 16)-domain XLA backward, no extra transposes.
             mom = jax.lax.dot_general(
                 _pix_basis(), dpower_t, (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (8, chunk)
-            cwA = jax.lax.dot_general(
-                gA8[0:3, :], wA, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (3, half)
-            cwB = jax.lax.dot_general(
-                gB8[0:3, :], wB, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            cw = jnp.concatenate([cwA, cwB], axis=1)          # (3, chunk)
-            zero = jnp.zeros((chunk,), jnp.float32)
+                preferred_element_type=jnp.float32)       # (8, chunk)
+            dq0, dq1, dq2 = mom[0], mom[1], mom[2]
+            dq3, dq4, dq5 = mom[3], mom[4], mom[5]
+            xs = featw[ROW_QX]
+            ys = featw[ROW_QY]
+            ca = -2.0 * featw[ROW_Q3]
+            cb = -featw[ROW_Q4]
+            cc = -2.0 * featw[ROW_Q5]
+            d_x = dq0 * (-ca * xs - cb * ys) + dq1 * ca + dq2 * cb
+            d_y = dq0 * (-cc * ys - cb * xs) + dq1 * cb + dq2 * cc
+            d_ca = dq0 * (-0.5 * xs * xs) + dq1 * xs - 0.5 * dq3
+            d_cb = dq0 * (-xs * ys) + dq1 * ys + dq2 * xs - dq4
+            d_cc = dq0 * (-0.5 * ys * ys) + dq2 * ys - 0.5 * dq5
+            d_op = dq0 / jnp.maximum(featw[ROW_QOP], 1e-30)
+            # out-of-window lanes (DMA overrun garbage) have dq == 0
+            # exactly, but 0 * garbage can still be NaN — mask them
+            wlane = wmask[:, 0]                            # (chunk,)
+            drows = jnp.stack([d_x, d_y, d_ca, d_cb, d_cc, d_op], axis=0)
+            drows = jnp.where(wlane[None, :], drows, 0.0)
             dpart_ref[...] = jnp.concatenate([
-                mom[0:6], cw,
+                drows, cw,
                 jnp.zeros((FEAT - 9, chunk), jnp.float32)], axis=0)
 
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
-def blend_sorted_pallas(qtabT: jax.Array, block_tile: jax.Array,
-                        aligned_starts: jax.Array, starts: jax.Array,
-                        counts: jax.Array, sorted_shift: jax.Array,
-                        grid_x: int, num_tiles: int, p_cap: int,
-                        chunk: int = 128, with_contrib: bool = False):
-    """Flat-grid ragged blend over the SORTED q-table (build_qtable).
+def blend_sorted_table(feat: jax.Array, tiles, grid_x: int,
+                       num_tiles: int, p_cap: int, chunk: int, n: int,
+                       with_contrib: bool = False):
+    """Blend from an (N + 1, FEAT) feature table + binning.TileLists:
+    pads the sorted pair domain for the kernel's DMA overrun, gathers the
+    table onto it with `segsum.gather_rows` (whose VJP is the
+    deterministic per-Gaussian gradient reduction — the reference
+    backward's atomicAdd, backward.cu:523,545-554), and runs the blend.
+    The shared top half of rasterize / the sharded band steps."""
+    from gaussianmesh_tpu.ops.segsum import gather_rows, gather_rows_counted
+    m = tiles.sorted_gid.shape[0]
+    pad_len = 2 * chunk + (-m) % chunk
+    gid_pad = jnp.concatenate([
+        tiles.sorted_gid, jnp.full((pad_len,), n, jnp.int32)])
+    tile_pad = jnp.concatenate([
+        tiles.sorted_tile, jnp.full((pad_len,), num_tiles, jnp.int32)])
+    live_pad = jnp.concatenate([
+        tiles.in_count, jnp.zeros((pad_len,), bool)])
+    if tiles.gid_counts is not None:
+        # dummy row n absorbs every sentinel/pad slot
+        rest = (m + pad_len
+                - jnp.sum(tiles.gid_counts)).astype(jnp.int32)[None]
+        counts_full = jnp.concatenate([tiles.gid_counts, rest])
+        feat_sorted = gather_rows_counted(feat, gid_pad, counts_full)
+    else:
+        feat_sorted = gather_rows(feat, gid_pad)         # (m_pad, F)
+    return blend_sorted_features(
+        feat_sorted, tile_pad, live_pad, tiles.block_tile,
+        tiles.aligned_starts, tiles.starts, tiles.counts,
+        tiles.sorted_shift, grid_x, num_tiles, p_cap, chunk,
+        with_contrib)
 
-    qtabT: (FEAT, m_pad) sorted, tile-grouped, depth-ordered q-table,
-        padded by at least 2*chunk columns past the live range (padding
-        may be garbage — dead lanes carry q0 = -1e30 and vanish).
-    block_tile: (p_cap // (chunk // 2) + 1,) owning tile per aligned
-        HALF-chunk (64-lane granule); num_tiles = sentinel.
-    aligned_starts: half-aligned layout bookkeeping.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def blend_sorted_features(feat_sorted: jax.Array, sorted_tile: jax.Array,
+                          live: jax.Array, block_tile: jax.Array,
+                          aligned_starts: jax.Array, starts: jax.Array,
+                          counts: jax.Array, sorted_shift: jax.Array,
+                          grid_x: int, num_tiles: int, p_cap: int,
+                          chunk: int = 128, with_contrib: bool = False):
+    """Flat-grid ragged blend over SORTED per-pair feature rows.
+
+    feat_sorted: (m_pad, FEAT) pack_features-layout rows already gathered
+        to the sorted, tile-grouped, depth-ordered pair domain, padded by
+        at least 2*chunk rows past the live range (padding may be
+        garbage — dead lanes get q0 = -1e30 in the internal q-table and
+        vanish). THE differentiable input: the VJP emits d(feat_sorted)
+        in the same layout (the per-row q chain runs inside the backward
+        kernel), so composing with `segsum.gather_rows` gives table-level
+        gradients and composing with an exchange gives sharded ones.
+    sorted_tile / live: per-pair owning tile (num_tiles = sentinel) and
+        within-granted-count mask — static routing.
+    block_tile: (p_cap // ALIGN + 1,) owning tile per aligned 64-lane
+        granule; num_tiles = sentinel.
+    aligned_starts: ALIGN-granular layout bookkeeping.
     starts: (num_tiles + 1,) sorted-domain tile ranges.
     counts: (num_tiles,) live pairs per tile (output masking only).
     sorted_shift: sorted position -> aligned offset (backward map).
-    Returns (color (T, 3, PIX), final_t (T, PIX), n_contrib (T, PIX));
-    the VJP yields dL/d qtabT (dL/dq rows + dL/drgb).
+    Returns (color (T, 3, PIX), final_t (T, PIX), n_contrib (T, PIX)).
     """
+    qtabT = _qtabT(feat_sorted, sorted_tile, live, grid_x)
     out, _ = _sorted_fwd_impl(qtabT, block_tile, aligned_starts,
                               starts, counts, grid_x, num_tiles, p_cap,
                               chunk, with_contrib)
     return out
+
+
+def _qtabT(feat_sorted, sorted_tile, live, grid_x):
+    qtab = build_qtable(feat_sorted, sorted_tile, live, grid_x)
+    # barrier: otherwise XLA fuses the caller's gather + build into the
+    # transpose and re-executes them once per feature row (16x traffic)
+    return jax.lax.optimization_barrier(qtab).T
 
 
 def _sorted_fwd_impl(qtabT, block_tile, aligned_starts, starts,
@@ -707,48 +788,45 @@ def _sorted_fwd_impl(qtabT, block_tile, aligned_starts, starts,
                      with_contrib=False):
     f_rows, m_pad = qtabT.shape
     assert f_rows == FEAT and m_pad % chunk == 0, (f_rows, m_pad, chunk)
+    assert chunk % ALIGN == 0 and chunk >= 2 * ALIGN, chunk
+    G = chunk // ALIGN
     pb = p_cap // chunk
-    half = chunk // 2
     kernel = _make_sorted_fwd_kernel(grid_x, chunk, num_tiles, m_pad,
                                      with_contrib)
 
-    def out_spec(parity):
-        # sentinel halves (ht == num_tiles) land on a dedicated dump row
-        # so their end-of-grid buffer writeback can never clobber a real
-        # tile's row (the last live tile may only own the OTHER parity)
+    def out_spec(g):
+        # sentinel granules (ht == num_tiles) land on a dedicated dump
+        # row so their end-of-grid buffer writeback can never clobber a
+        # real tile's row
         return pl.BlockSpec(
             (1, 8, PIX),
-            lambda b, ht, *s: (ht[2 * b + parity], 0, 0))
+            lambda b, ht, *s, g=g: (ht[G * b + g], 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(pb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_specs=(
-            out_spec(0),
-            out_spec(1),
-            pl.BlockSpec((1, 2, PIX), lambda b, *s: (b, 0, 0)),
-        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + G),
+        out_specs=tuple(out_spec(g) for g in range(G)) + (
+            pl.BlockSpec((1, 2, PIX), lambda b, *s: (b, 0, 0)),),
         scratch_shapes=[
             pltpu.VMEM((8, PIX), jnp.float32),
-            pltpu.VMEM((2, 2, FEAT, 2 * chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, G, FEAT, _GWIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
     zeros_out = jnp.zeros((num_tiles + 1, 8, PIX), jnp.float32)
-    outA, outB, ckpt = pl.pallas_call(
+    out_sd = jax.ShapeDtypeStruct((num_tiles + 1, 8, PIX), jnp.float32)
+    results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles + 1, 8, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles + 1, 8, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((pb, 2, PIX), jnp.float32),
-        ),
-        input_output_aliases={5: 0, 6: 1},
+        out_shape=tuple(out_sd for _ in range(G)) + (
+            jax.ShapeDtypeStruct((pb, 2, PIX), jnp.float32),),
+        input_output_aliases={5 + g: g for g in range(G)},
     )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
       counts.astype(jnp.int32), starts.astype(jnp.int32), qtabT,
-      zeros_out, zeros_out)
-    out8 = outA[:num_tiles] + outB[:num_tiles]
+      *([zeros_out] * G))
+    ckpt = results[-1]
+    out8 = sum(o[:num_tiles] for o in results[:G])
 
     has = counts > 0
     color = jnp.where(has[:, None, None], out8[:, 0:3], 0.0)
@@ -757,9 +835,10 @@ def _sorted_fwd_impl(qtabT, block_tile, aligned_starts, starts,
     return (color, final_t, n_contrib), ckpt
 
 
-def _sorted_fwd_rule(qtabT, block_tile, aligned_starts, starts,
-                     counts, sorted_shift, grid_x, num_tiles, p_cap, chunk,
-                     with_contrib=False):
+def _sorted_fwd_rule(feat_sorted, sorted_tile, live, block_tile,
+                     aligned_starts, starts, counts, sorted_shift,
+                     grid_x, num_tiles, p_cap, chunk, with_contrib=False):
+    qtabT = _qtabT(feat_sorted, sorted_tile, live, grid_x)
     out, ckpt = _sorted_fwd_impl(qtabT, block_tile, aligned_starts,
                                  starts, counts, grid_x, num_tiles, p_cap,
                                  chunk, with_contrib)
@@ -794,10 +873,10 @@ def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
         out_specs=pl.BlockSpec((FEAT, chunk), rev),
         scratch_shapes=[
             pltpu.VMEM((8, PIX), jnp.float32),
-            pltpu.VMEM((2, 2, FEAT, 2 * chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((2, 2, 8, PIX), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, chunk // ALIGN, FEAT, _GWIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, chunk // ALIGN)),
+            pltpu.VMEM((2, chunk // ALIGN, 8, PIX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, chunk // ALIGN)),
         ],
     )
     dpartT = pl.pallas_call(
@@ -808,16 +887,17 @@ def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
       counts.astype(jnp.int32), starts.astype(jnp.int32), qtabT, g8, ckpt)
 
     # aligned -> sorted: deterministic inverse gather (each live sorted
-    # row has a unique aligned position); padding columns get zero
+    # row has a unique aligned position); padding rows get zero. The
+    # kernel already emitted pack_features-layout rows, so this IS
+    # d(feat_sorted) — no q-table backward exists.
     m = sorted_shift.shape[0]
     dpart = dpartT.T                                     # (p_cap, FEAT)
     d_pad = jnp.concatenate([dpart, jnp.zeros_like(dpart[:1])])
     p_idx = jnp.arange(m, dtype=jnp.int32)
     dest = jnp.clip(p_idx + sorted_shift, 0, p_cap)
     d_sorted = d_pad[dest]                               # (m, FEAT)
-    d_qtabT = jnp.zeros((f_rows, m_pad), dpart.dtype).at[:, :m].set(
-        d_sorted.T)
-    return (d_qtabT, None, None, None, None, None)
+    d_feat = jnp.zeros((m_pad, f_rows), dpart.dtype).at[:m].set(d_sorted)
+    return (d_feat, None, None, None, None, None, None, None)
 
 
-blend_sorted_pallas.defvjp(_sorted_fwd_rule, _sorted_bwd_rule)
+blend_sorted_features.defvjp(_sorted_fwd_rule, _sorted_bwd_rule)

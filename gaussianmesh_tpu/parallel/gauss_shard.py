@@ -96,9 +96,14 @@ def rasterize_band_gauss_sharded(
     feat = tile_blend.pack_features(mean2d, prep.conic,
                                     arrays.opacity.reshape(-1), arrays.rgb,
                                     prep.valid)           # (N_local+1, 16)
-    from gaussianmesh_tpu.ops.segsum import gather_rows
-    pair_feat = gather_rows(feat, exp.gid_slot,
-                            assume_grouped=True)      # (m, 16)
+    # counted reduction: expand_pairs knows the exact per-gaussian pair
+    # multiset (sentinel-gid dummy pairs are interleaved, so the old
+    # grouped-order shortcut no longer holds)
+    from gaussianmesh_tpu.ops.segsum import gather_rows_counted
+    rest = (m_local - jnp.sum(exp.gid_counts)).astype(jnp.int32)[None]
+    pair_feat = gather_rows_counted(
+        feat, exp.gid_slot,
+        jnp.concatenate([exp.gid_counts, rest]))      # (m, 16)
 
     # 2. bucket by destination band; the stable sort keeps each bucket in
     # emission order (the receiver's 3-key sort establishes depth order)
@@ -160,12 +165,13 @@ def rasterize_band_gauss_sharded(
             [st, jnp.full((pad_len,), nt_local, jnp.int32)])
         live_pad = jnp.concatenate(
             [tiles.in_count, jnp.zeros((pad_len,), bool)])
-        qtab = tile_blend.build_qtable(feat_pad, tile_pad, live_pad, gx)
-        qtab = jax.lax.optimization_barrier(qtab)
-        color_t, final_t_t, _ = tile_blend.blend_sorted_pallas(
-            qtab.T, tiles.block_tile, tiles.aligned_starts,
-            tiles.starts, tiles.counts, tiles.sorted_shift,
-            gx, nt_local, p_cap, chunk)
+        # per-pair feature cotangents come straight out of the blend VJP
+        # (pack_features layout) and route back through [perm] + the
+        # all_to_all transpose to the owning shard
+        color_t, final_t_t, _ = tile_blend.blend_sorted_features(
+            feat_pad, tile_pad, live_pad, tiles.block_tile,
+            tiles.aligned_starts, tiles.starts, tiles.counts,
+            tiles.sorted_shift, gx, nt_local, p_cap, chunk)
     else:
         lists = binning.tile_id_lists(
             tiles._replace(sorted_gid=jnp.arange(m_recv, dtype=jnp.int32)),

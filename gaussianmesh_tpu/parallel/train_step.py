@@ -101,24 +101,8 @@ def rasterize_band(arrays: render_mod.GaussianArrays, cam: CameraArrays,
     feat = tile_blend.pack_features(mean2d, band.conic, arrays.opacity,
                                     arrays.rgb, band.valid)
     if cfg.use_pallas:
-        m = tiles.sorted_gid.shape[0]
-        pad_len = 2 * cfg.blend_chunk + (-m) % cfg.blend_chunk
-        gid_pad = jnp.concatenate([
-            tiles.sorted_gid,
-            jnp.full((pad_len,), n, jnp.int32)])
-        tile_pad = jnp.concatenate([
-            tiles.sorted_tile,
-            jnp.full((pad_len,), gx * gy_local, jnp.int32)])
-        live_pad = jnp.concatenate([
-            tiles.in_count, jnp.zeros((pad_len,), bool)])
-        from gaussianmesh_tpu.ops.segsum import gather_rows
-        feat_sorted = gather_rows(feat, gid_pad)
-        qtab = tile_blend.build_qtable(feat_sorted, tile_pad, live_pad, gx)
-        qtab = jax.lax.optimization_barrier(qtab)
-        color_t, final_t_t, _ = tile_blend.blend_sorted_pallas(
-            qtab.T, tiles.block_tile, tiles.aligned_starts,
-            tiles.starts, tiles.counts, tiles.sorted_shift,
-            gx, gx * gy_local, p_cap, cfg.blend_chunk)
+        color_t, final_t_t, _ = tile_blend.blend_sorted_table(
+            feat, tiles, gx, gx * gy_local, p_cap, cfg.blend_chunk, n)
     else:
         lists = binning.tile_id_lists(tiles, gx * gy_local, cfg.max_per_tile, n)
         tile_feats = jnp.swapaxes(feat[lists], 1, 2)

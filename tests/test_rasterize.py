@@ -49,7 +49,8 @@ def test_jnp_pipeline_matches_oracle(scene):
     assert (pipe_nc <= orac_nc).all()
 
 
-def test_pallas_interpret_matches_jnp(scene):
+@pytest.mark.parametrize("chunk", [128, 256])
+def test_pallas_interpret_matches_jnp(scene, chunk):
     cam, sc = scene
     out_j = rasterize(sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"],
                       BG, cam, _cfg(False))
@@ -57,7 +58,8 @@ def test_pallas_interpret_matches_jnp(scene):
         from jax.experimental.pallas import tpu as pltpu
         with pltpu.force_tpu_interpret_mode():
             out_p = rasterize(sc["means3d"], sc["cov6"], sc["opacity"],
-                              sc["rgb"], BG, cam, _cfg(True))
+                              sc["rgb"], BG, cam,
+                              _cfg(True, blend_chunk=chunk))
     # 3e-5: the kernel evaluates the quadratic as an MXU monomial
     # contraction in tile-relative coordinates; the jnp path is
     # elementwise — same math, different rounding order
@@ -67,8 +69,8 @@ def test_pallas_interpret_matches_jnp(scene):
                                np.asarray(out_j.final_t), atol=3e-5)
 
 
-def _loss_fn(use_pallas):
-    cfg = _cfg(use_pallas)
+def _loss_fn(use_pallas, **kw):
+    cfg = _cfg(use_pallas, **kw)
 
     def loss(means3d, cov6, opacity, rgb, cam, target):
         out = rasterize(means3d, cov6, opacity, rgb, BG, cam, cfg)
@@ -98,14 +100,16 @@ def test_gradients_flow_and_match_oracle(scene):
                                    err_msg=name)
 
 
-def test_pallas_interpret_grads_match_jnp(scene):
+@pytest.mark.parametrize("chunk", [128, 256])
+def test_pallas_interpret_grads_match_jnp(scene, chunk):
     cam, sc = scene
     target = jnp.zeros((3, H, W))
     args = (sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"], cam, target)
     g_j = jax.grad(_loss_fn(False), argnums=(0, 1, 2, 3))(*args)
     from jax.experimental.pallas import tpu as pltpu
     with jax.disable_jit(), pltpu.force_tpu_interpret_mode():
-        g_p = jax.grad(_loss_fn(True), argnums=(0, 1, 2, 3))(*args)
+        g_p = jax.grad(_loss_fn(True, blend_chunk=chunk),
+                       argnums=(0, 1, 2, 3))(*args)
     for gj, gp, name in zip(g_j, g_p, ["means", "cov6", "op", "rgb"]):
         gj, gp = np.asarray(gj), np.asarray(gp)
         scale = np.abs(gj).max() + 1e-8
@@ -212,3 +216,38 @@ def test_pair_overflow_render_stays_finite_and_reported():
     # starved tiles fall back to pure background (final_t == 1)
     ft = np.asarray(out.final_t)
     assert (ft == 1.0).any()
+
+
+@pytest.mark.parametrize("chunk", [128, 256])
+def test_overflow_clamped_tiles_with_odd_granule_offsets(chunk):
+    """max_per_tile clamping leaves each tile's EXCESS pairs between the
+    granted regions in the sorted domain, so consecutive granules in one
+    blend block can be arbitrarily far apart. A shared block-anchored
+    fetch misses the later granules (round-3 bug: 0.5 max-abs pixel error
+    at 256px under overflow); granule-independent DMA must keep overflow
+    renders at jnp parity. The scene forces MIXED blocks: a heavy
+    clamped cluster preceded by small odd-granule tiles."""
+    rng = np.random.default_rng(21)
+    cam = look_at_camera(W, H)
+    # heavy cluster (one tile neighborhood) + light spread
+    n_heavy, n_light = 900, 300
+    sc = random_gaussians(n_heavy + n_light, seed=21)
+    means = np.array(sc["means3d"])
+    means[:n_heavy] = means[:n_heavy] * 0.08 + np.array([0.25, 0.2, 0.0])
+    means3d = jnp.asarray(means)
+
+    kw = dict(max_per_tile=70, pair_capacity_per_gaussian=14,
+              row_capacity_per_gaussian=6)
+    out_j = rasterize(means3d, sc["cov6"], sc["opacity"], sc["rgb"],
+                      BG, cam, _cfg(False, **kw))
+    assert int(out_j.tile_overflow) > 0  # the clamp actually fired
+    with jax.disable_jit():
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            out_p = rasterize(means3d, sc["cov6"], sc["opacity"],
+                              sc["rgb"], BG, cam,
+                              _cfg(True, blend_chunk=chunk, **kw))
+    np.testing.assert_allclose(np.asarray(out_p.color),
+                               np.asarray(out_j.color), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_p.final_t),
+                               np.asarray(out_j.final_t), atol=5e-5)
