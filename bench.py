@@ -68,7 +68,7 @@ def _measure():
     # 276K rows at 100K gaussians); TileLists overflow counters verified 0,
     # num_rendered identical to generous-capacity runs
     cfg = RasterizerConfig(width=WIDTH, height=HEIGHT, max_per_tile=1024,
-                           blend_chunk=128, pair_capacity_per_gaussian=9,
+                           blend_chunk=256, pair_capacity_per_gaussian=9,
                            row_capacity_per_gaussian=3, use_pallas=use_pallas)
     cam = look_at_camera(WIDTH, HEIGHT, distance=4.0)
     sc = random_gaussians(N_GAUSS, seed=0, spread=1.4,

@@ -46,7 +46,6 @@ def main(argv=None) -> None:
     from gaussianmesh_tpu.scene import Scene
     from gaussianmesh_tpu.train.loss import psnr
     from gaussianmesh_tpu.train.trainer import DeviceDataset, MeshTrainer
-    from gaussianmesh_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     scene = Scene(model, is_exist_bg=args.is_exist_bg, seed=rt.seed)
     scene.write_static_artifacts()
@@ -67,12 +66,15 @@ def main(argv=None) -> None:
     ckpt_path = args.start_checkpoint
     if args.auto_resume and not ckpt_path:
         import glob
-        found = glob.glob(os.path.join(model.model_path, "chkpnt*.ckpt"))
+        # both flavors: msgpack files (chkpntN.ckpt) and orbax sharded
+        # directories (chkpntN.ckpt.orbax)
+        found = glob.glob(os.path.join(model.model_path, "chkpnt*.ckpt")) \
+            + glob.glob(os.path.join(model.model_path, "chkpnt*.ckpt.orbax"))
         if found:
             ckpt_path = max(found, key=lambda f: int(
                 "".join(ch for ch in os.path.basename(f) if ch.isdigit())))
     if ckpt_path:
-        trainer.restore(load_checkpoint(ckpt_path, trainer.capture()))
+        trainer.load_ckpt(ckpt_path)
         print(f"[train] resumed from {ckpt_path} at iter {trainer.global_it}")
     print(f"[train] {int(trainer.binding.alive.sum())} gaussians after init")
 
@@ -101,8 +103,8 @@ def main(argv=None) -> None:
             print(f"[ITER {b}] Saving Gaussians")
             trainer.save(scene.iteration_dir(b))
         if b in ckpt_iters:
-            save_checkpoint(os.path.join(model.model_path, f"chkpnt{b}.ckpt"),
-                            trainer.capture())
+            trainer.save_ckpt(
+                os.path.join(model.model_path, f"chkpnt{b}.ckpt"))
         if b in test_iters and test_ds is not None:
             vals = []
             import jax.numpy as jnp

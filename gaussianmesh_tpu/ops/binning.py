@@ -168,19 +168,85 @@ def _offset_expand(counts: jax.Array, capacity: int):
     nb = -(-capacity // blk)
     # s[b] = #{i: off1[i] < 128 b} — searchsorted at the block bases
     s = _searchsorted_left(off1, jnp.arange(nb, dtype=jnp.int32) * blk)
-    # candidate boundaries: off1[s[b] + k], k < 128 (clustered gather).
-    # Strict monotonicity bounds off1[s[b] + k] >= 128 b + k, so k >= 128
-    # can never satisfy off1 <= j for j < 128 (b + 1): 128 candidates
-    # are EXACTLY sufficient.
+    # Candidate boundaries are off1[s[b] + k], k < 128: strict
+    # monotonicity bounds off1[s[b] + k] >= 128 b + k, so k >= 128 can
+    # never satisfy off1 <= j for j < 128 (b + 1) — 128 candidates are
+    # EXACTLY sufficient. Fetching that misaligned window as an element
+    # gather costs the pathological per-ELEMENT rate (~8 ns x capacity —
+    # it dominated expand_pairs, round-3 profile); instead gather the TWO
+    # 128-ALIGNED wide rows covering [s[b], s[b] + 128) (s[b] >= 128 A
+    # with A = s[b] >> 7 puts the window inside rows A, A + 1) and count
+    # over all 256 candidates with an index-window mask — two wide row
+    # gathers + a fused compare-count, no element gather.
+    nrows = -(-n // blk)
+    pad = nrows * blk - n
+    big = jnp.iinfo(jnp.int32).max
+    off1p = jnp.concatenate([off1, jnp.full((pad + blk,), big, jnp.int32)])
+    rows = off1p.reshape(nrows + 1, blk)
+    a_row = jnp.minimum(s // blk, nrows)
+    cand = jnp.concatenate(
+        [rows[a_row], rows[jnp.minimum(a_row + 1, nrows)]], axis=1)
+    cidx = a_row[:, None] * blk + jnp.arange(2 * blk, dtype=jnp.int32)[None, :]
+    cand_ok = (cidx >= s[:, None]) & (cidx < n)           # (nb, 256)
     kidx = jnp.arange(blk, dtype=jnp.int32)[None, :]
-    cpos = s[:, None] + kidx
-    cand = off1[jnp.minimum(cpos, n - 1)]                # (nb, 128)
-    cand_ok = cpos < n
     j = (jnp.arange(nb, dtype=jnp.int32) * blk)[:, None] + kidx
     cnt = jnp.sum(((cand[:, None, :] <= j[:, :, None])
                    & cand_ok[:, None, :]).astype(jnp.int32), axis=-1)
     parent = jnp.minimum((s[:, None] + cnt).reshape(-1)[:capacity], n - 1)
     return off, parent, total, overflow
+
+
+def _offset_expand_propagate(counts: jax.Array, capacity: int,
+                             payload: jax.Array):
+    """`_offset_expand` fused with parent-payload propagation: instead of
+    returning the parent map for a separate `payload[parent]` gather
+    (per-ROW cost on the big child domain — the narrow-row stage-2
+    gather was ~4 ms/step at bench scale), select each child's payload
+    from the SAME two aligned 128-rows that the rank recovery already
+    reads: the parent of child j lies at window position
+    (s[b] mod 128) + cnt[b, j], so a one-hot masked reduction over the
+    256 candidates propagates every column with fused elementwise math —
+    no per-element gather. Payload must be f32 with integer-exact values
+    (< 2^24) or true floats. Returns (off, selected (capacity, C),
+    total, overflow)."""
+    n = counts.shape[0]
+    off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(counts).astype(jnp.int32)])
+    total = off[n]
+    overflow = jnp.maximum(total - capacity, 0)
+    off1 = off[1:]
+    blk = 128
+    nb = -(-capacity // blk)
+    s = _searchsorted_left(off1, jnp.arange(nb, dtype=jnp.int32) * blk)
+    nrows = -(-n // blk)
+    pad = nrows * blk - n
+    big = jnp.iinfo(jnp.int32).max
+    off1p = jnp.concatenate([off1, jnp.full((pad + blk,), big, jnp.int32)])
+    rows = off1p.reshape(nrows + 1, blk)
+    a_row = jnp.minimum(s // blk, nrows)
+    b_row = jnp.minimum(a_row + 1, nrows)
+    cand = jnp.concatenate([rows[a_row], rows[b_row]], axis=1)
+    cidx = a_row[:, None] * blk + jnp.arange(2 * blk, dtype=jnp.int32)[None, :]
+    cand_ok = (cidx >= s[:, None]) & (cidx < n)
+    kidx = jnp.arange(blk, dtype=jnp.int32)[None, :]
+    j = (jnp.arange(nb, dtype=jnp.int32) * blk)[:, None] + kidx
+    cnt = jnp.sum(((cand[:, None, :] <= j[:, :, None])
+                   & cand_ok[:, None, :]).astype(jnp.int32), axis=-1)
+
+    c_cols = payload.shape[1]
+    payp = jnp.concatenate(
+        [payload, jnp.zeros((pad + blk, c_cols), payload.dtype)])
+    prows = payp.reshape(nrows + 1, blk, c_cols)
+    candp = jnp.concatenate([prows[a_row], prows[b_row]], axis=1)  # (nb,256,C)
+    # window position of each child's parent (in [0, 256) by the strict-
+    # monotonicity window bound); children past `total` read garbage that
+    # callers mask via `total`
+    wpos = (s[:, None] - a_row[:, None] * blk) + cnt       # (nb, 128)
+    onehot = wpos[:, :, None] == jnp.arange(2 * blk, dtype=jnp.int32)
+    sel = jnp.sum(jnp.where(onehot[..., None], candp[:, None, :, :], 0.0),
+                  axis=2)                                  # (nb, 128, C)
+    selected = sel.reshape(-1, c_cols)[:capacity]
+    return off, selected, total, overflow
 
 
 def _searchsorted_left(a: jax.Array, q: jax.Array) -> jax.Array:
@@ -340,34 +406,37 @@ def expand_pairs(prep: Preprocessed, grid_x: int, grid_y: int,
     # strictness again: zero-width rows emit one sentinel-tiled pair
     widths = jnp.maximum(width_real, 1)
 
-    # 4. stage 2: rows -> (tile, gaussian) pairs, same searchsorted rank
-    # recovery as stage 1 plus ONE wide gather. Only a few per-row values
-    # are needed because a row's pairs cover CONSECUTIVE tiles: tile(j) =
-    # base + j with base = (ty*gx + tx0) - toff[row] (exact int32
-    # telescoping).
-    toff, row_of, total, pair_lost = _offset_expand(widths, m)
-    rect_overflow = row_overflow + pair_lost
+    # 4. stage 2: rows -> (tile, gaussian) pairs. Only a few per-row
+    # values are needed because a row's pairs cover CONSECUTIVE tiles:
+    # tile(j) = base + j with base = (ty*gx + tx0) - toff[row] (exact
+    # int32 telescoping). The payload travels through the fused
+    # rank-recovery + windowed select (every column integer-exact in
+    # f32; depth is f32 already) — no per-row gather on the pair domain.
     dummy_row = width_real == 0
+    # row starts (cumsum of widths) are needed INSIDE the payload (base
+    # pre-shifted by the row start so tile(j) = base + j telescopes);
+    # _offset_expand_propagate recomputes the same cumsum and XLA CSEs it
+    toff = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(widths).astype(jnp.int32)])
+    base = (ty * grid_x + tx0) - toff[:m1]
+    # every payload column is f32-exact for rows that can be selected:
+    # |base| < 2^24 because a selected row has toff[row] <= j < m, and
+    # id/flag are small ints; depth is f32 natively (no bitcast)
+    pay = jnp.stack([jnp.where(dummy_row, 0, base).astype(jnp.float32),
+                     row_tab[:, 10],                    # gaussian id
+                     row_tab[:, 11],                    # view depth (f32)
+                     dummy_row.astype(jnp.float32)], axis=-1)
+    _, sv, total, pair_lost = _offset_expand_propagate(widths, m, pay)
+    rect_overflow = row_overflow + pair_lost
     n_dummy = jnp.sum((dummy_row
                        & (toff[:m1] < jnp.minimum(total, m))).astype(jnp.int32))
-    base = (ty * grid_x + tx0) - toff[:m1]
-    # depth rides along bitcast to int32 (exact transport) so the whole
-    # propagation stays ONE wide gather
-    tab2 = jnp.stack([jnp.where(dummy_row, 0, base),
-                      row_tab[:, 10].astype(jnp.int32),
-                      jax.lax.bitcast_convert_type(
-                          row_tab[:, 11].astype(jnp.float32), jnp.int32),
-                      dummy_row.astype(jnp.int32)],
-                     axis=-1)
-    sv = tab2[row_of]                                            # (m, 4)
 
     j = jnp.arange(m, dtype=jnp.int32)
-    pair_ok = (j < total) & (sv[:, 3] == 0)
-    pair_tile = jnp.where(pair_ok, sv[:, 0] + j, num_tiles)
-    gid_slot = jnp.where(pair_ok, sv[:, 1], n)
-    pair_depth = jnp.where(
-        pair_ok, jax.lax.bitcast_convert_type(sv[:, 2], jnp.float32),
-        jnp.inf)
+    pair_ok = (j < total) & (sv[:, 3] == 0.0)
+    pair_tile = jnp.where(pair_ok, sv[:, 0].astype(jnp.int32) + j,
+                          num_tiles)
+    gid_slot = jnp.where(pair_ok, sv[:, 1].astype(jnp.int32), n)
+    pair_depth = jnp.where(pair_ok, sv[:, 2], jnp.inf)
     num_valid = jnp.minimum(total, m) - n_dummy
 
     # EXACT per-gaussian emitted-pair counts (slots with gid_slot == g):

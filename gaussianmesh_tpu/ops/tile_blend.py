@@ -263,38 +263,76 @@ def _gvec(vals, size):
     return out
 
 
-def _seg_cumprod(x, tvec):
-    """Inclusive cumprod down the sublane axis, restarting at segment
-    boundaries (rows where tvec changes). Log-step scan; the boundary
-    masks are (k, 1) sublane vectors broadcast over lanes."""
+# ---------------------------------------------------------------------------
+# Segmented scans, granule-factored. Tiles are ALIGN-aligned by
+# construction (finish_tile_lists), so a granule NEVER spans tiles and
+# the segmented scan factors exactly into (a) an UNSEGMENTED per-granule
+# log-step scan whose masks are compile-time constants of the in-granule
+# rank — no tvec compares, no dynamic boundary logic — and (b) a
+# cross-granule combine of G - 1 sequential steps on (PIX,) rows. The
+# fully-segmented scan this replaces paid 3 dynamic ops per step; these
+# pay ~2 with constant masks (measured: the scans are the kernels'
+# dominant linear vector cost; an MXU triangular-matmul variant lost —
+# f32 matmul latency exceeded the scan it removed).
+# ---------------------------------------------------------------------------
+
+
+def _rank_vec(k):
+    return jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) % ALIGN
+
+
+def _granule_cumprod(x, tg):
+    """Per-granule inclusive cumprod of (k, PIX) down sublanes + the
+    same-tile cross-granule factors. Returns (cum, fac_rows) where `cum`
+    is the SEGMENTED inclusive cumprod and fac_rows[i] is the product of
+    same-tile predecessor granules' totals for row i's granule (== the
+    exclusive prefix at each granule head)."""
     k = x.shape[0]
+    G = k // ALIGN
+    rank = _rank_vec(k)
     d = 1
-    while d < k:
+    while d < ALIGN:
         shifted = jnp.concatenate([jnp.ones_like(x[:d]), x[:k - d]], axis=0)
-        tsh = jnp.concatenate([jnp.full_like(tvec[:d], -1), tvec[:k - d]],
-                              axis=0)
-        x = jnp.where(tvec == tsh, x * shifted, x)
+        x = jnp.where(rank >= d, x * shifted, x)
         d *= 2
-    return x
+    if G == 1:
+        return x, jnp.ones_like(x)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) // ALIGN
+    fac = jnp.ones_like(x[0])                   # (PIX,)
+    fac_rows = jnp.ones_like(x)
+    for g in range(1, G):
+        total_prev = x[g * ALIGN - 1]
+        fac = jnp.where(tg[g] == tg[g - 1], fac * total_prev,
+                        jnp.ones_like(fac))
+        fac_rows = jnp.where(gidx >= g, fac[None, :], fac_rows)
+    return x * fac_rows, fac_rows
 
 
-def _seg_sufsum(x, tvec):
-    """Inclusive suffix-cumsum up the sublane axis, restarting at segment
-    boundaries."""
-    k = x.shape[0]
+def _granule_sufsum_excl(a, tg):
+    """Per-granule EXCLUSIVE suffix sum of (k, PIX) up sublanes +
+    same-tile successor-granule tail terms (segmented exclusive suffix
+    sum over the whole block)."""
+    k = a.shape[0]
+    G = k // ALIGN
+    rank = _rank_vec(k)
+    x = a
     d = 1
-    while d < k:
+    while d < ALIGN:
         shifted = jnp.concatenate([x[d:], jnp.zeros_like(x[:d])], axis=0)
-        tsh = jnp.concatenate([tvec[d:], jnp.full_like(tvec[:d], -2)], axis=0)
-        x = jnp.where(tvec == tsh, x + shifted, x)
+        x = jnp.where(rank < ALIGN - d, x + shifted, x)
         d *= 2
-    return x
-
-
-def _shift_one_sublane(x, fill):
-    """Shift down by one sublane, filling row 0 with `fill`."""
-    return jnp.concatenate(
-        [jnp.full_like(x[:1], fill), x[:-1]], axis=0)
+    out = x - a                                  # exclusive within granule
+    if G == 1:
+        return out
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) // ALIGN
+    tail = jnp.zeros_like(a[0])                  # (PIX,)
+    tail_rows = jnp.zeros_like(a)
+    for g in range(G - 2, -1, -1):
+        total_next = x[(g + 1) * ALIGN]          # inclusive head = total
+        tail = jnp.where(tg[g + 1] == tg[g], tail + total_next,
+                         jnp.zeros_like(tail))
+        tail_rows = jnp.where(gidx <= g, tail[None, :], tail_rows)
+    return out + tail_rows
 
 
 _DEAD_Q0 = -1e30  # exp(power) == 0 exactly for dead lanes
@@ -426,13 +464,7 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
 
         slot = b % 2
 
-        # capacity blocks past the live range: no fetch, no math, no write
-        @pl.when(t0 < num_tiles)
-        def _live_block():
-            for g in range(G):
-                _granule_dma(feat_ref, buf, sem, slot, g,
-                             src0_of(h0 + g)).wait()
-
+        def _live_math():
             # first visit of each output row: zero it (rows never
             # visited keep the aliased zero input)
             for g in range(G):
@@ -458,11 +490,10 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             # ---- segmented transmittance chain over all granules ----
             tvec = _gvec(tg, chunk)                       # (chunk, 1)
             om = 1.0 - alpha_t
-            cum = _seg_cumprod(om, tvec)
-            tprev = jnp.concatenate(
-                [jnp.full_like(tvec[:1], -1), tvec[:-1]], axis=0)
-            cum_excl = jnp.where(tvec == tprev,
-                                 _shift_one_sublane(cum, 1.0), 1.0)
+            cum, fac_rows = _granule_cumprod(om, tg)
+            cum_excl = jnp.where(
+                _rank_vec(chunk) == 0, fac_rows,
+                jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0))
 
             s_prev = carry[0, :]
             s0 = jnp.where(t0 == prev_t, s_prev, jnp.ones_like(s_prev))
@@ -533,6 +564,44 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             carry[1, :] = R_g
             carry[2, :] = NC
 
+        # capacity blocks past the live range: no fetch, no math, no write
+        @pl.when(t0 < num_tiles)
+        def _live_block():
+            for g in range(G):
+                _granule_dma(feat_ref, buf, sem, slot, g,
+                             src0_of(h0 + g)).wait()
+
+            # ---- saturation skip (the reference's per-pixel early
+            # termination, forward.cu:343-351, at block granularity) ----
+            # If the whole block belongs to ONE tile continuing from the
+            # previous block and every pixel's carried transmittance is
+            # already < T_EPS, then incl is false everywhere (s = srow *
+            # cum <= srow < eps), so w == 0 EXACTLY: colors/final_t/
+            # n_contrib are all untouched by this block. Store the
+            # checkpoint (the backward reconstructs the same all-false
+            # incl from it), keep the carries, and write the tile's
+            # close row if it ends here. Only the math is skipped — the
+            # prefetched DMAs were started, so they must be waited
+            # either way (above). outs[G-1]'s row for t0 needs no
+            # first-visit zeroing here: a continuing tile occupied the
+            # previous block's last granule, so that row was already
+            # initialized there.
+            saturated = jnp.max(carry[0, :]) < T_EPS
+            skip = (t0 == prev_t) & (tg[G - 1] == t0) & saturated
+
+            @pl.when(skip)
+            def _skip_block():
+                ckpt_ref[0, 0, :] = carry[0, :]
+
+                @pl.when(t_after != t0)
+                def _close_skip():
+                    outs[G - 1][0, 3, :] = carry[1, :]
+                    outs[G - 1][0, NCONTRIB_ROW, :] = carry[2, :]
+
+            @pl.when(~skip)
+            def _math_block():
+                _live_math()
+
     return kernel
 
 
@@ -585,17 +654,7 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
         def _prefetch():
             start_block(b - 1, (b - 1) % 2)
 
-        @pl.when(t0 < num_tiles)
-        def _live_block():
-            for g in range(G):
-                _granule_dma(feat_ref, buf, sem, slot, g,
-                             src0_of(h0 + g)).wait()
-            g_dma(slot, 0, h0).wait()
-            for g in range(1, G):
-                @pl.when(tg[g] != tg[g - 1])
-                def _(g=g):
-                    g_dma(slot, g, h0 + g).wait()
-
+        def _live_math():
             # ---- alpha evaluation (identical to forward) ----
             parts = [_granule_extract(buf, slot, g, src0_of(h0 + g))
                      for g in range(G)]
@@ -618,13 +677,14 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                                        gbuf[slot, g]))
 
             # ---- forward transmittance reconstruction ----
+            # identical formulas to the forward kernel (same inputs ->
+            # bit-identical incl gate)
             tvec = _gvec(tg, chunk)
             om = 1.0 - alpha_t
-            cum = _seg_cumprod(om, tvec)
-            tprev = jnp.concatenate(
-                [jnp.full_like(tvec[:1], -1), tvec[:-1]], axis=0)
-            cum_excl = jnp.where(tvec == tprev,
-                                 _shift_one_sublane(cum, 1.0), 1.0)
+            cum, fac_rows = _granule_cumprod(om, tg)
+            cum_excl = jnp.where(
+                _rank_vec(chunk) == 0, fac_rows,
+                jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0))
             s0 = ckpt_ref[0, 0, :]
             srow = jnp.where(tvec == t0, s0[None, :], 1.0)
             s_excl = srow * cum_excl
@@ -649,7 +709,7 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
 
             # ---- segmented suffix accumulation of dL/dalpha ----
             a_mat = dldw * w
-            suf_excl = _seg_sufsum(a_mat, tvec) - a_mat
+            suf_excl = _granule_sufsum_excl(a_mat, tg)
 
             # q tail per granule: qcarry for the tile continuing past the
             # block (reverse walk: already accumulated), g_ft * final_t
@@ -706,6 +766,37 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                 drows, cw,
                 jnp.zeros((FEAT - 9, chunk), jnp.float32)], axis=0)
 
+        @pl.when(t0 < num_tiles)
+        def _live_block():
+            for g in range(G):
+                _granule_dma(feat_ref, buf, sem, slot, g,
+                             src0_of(h0 + g)).wait()
+            g_dma(slot, 0, h0).wait()
+            for g in range(1, G):
+                @pl.when(tg[g] != tg[g - 1])
+                def _(g=g):
+                    g_dma(slot, g, h0 + g).wait()
+
+            # ---- saturation skip (mirrors the forward kernel's) ----
+            # One tile across the whole block with checkpointed entry
+            # transmittance < T_EPS everywhere: incl reconstructs false
+            # for every row, so w == 0, a_mat == 0, dalpha == 0 — the
+            # gradient rows are exactly zero and the q carry crosses the
+            # block unchanged (or restarts from this tile's tail term at
+            # its last block).
+            s0 = ckpt_ref[0, 0, :]
+            skip = (tg[G - 1] == t0) & (jnp.max(s0) < T_EPS)
+
+            @pl.when(skip)
+            def _skip_block():
+                init0 = gbuf[slot, 0][3, :] * gbuf[slot, 0][NCONTRIB_ROW, :]
+                qcarry[0, :] = jnp.where(t0 == t_after, qcarry[0, :], init0)
+                dpart_ref[...] = jnp.zeros_like(dpart_ref)
+
+            @pl.when(~skip)
+            def _math_block():
+                _live_math()
+
     return kernel
 
 
@@ -714,11 +805,19 @@ def blend_sorted_table(feat: jax.Array, tiles, grid_x: int,
                        with_contrib: bool = False):
     """Blend from an (N + 1, FEAT) feature table + binning.TileLists:
     pads the sorted pair domain for the kernel's DMA overrun, gathers the
-    table onto it with `segsum.gather_rows` (whose VJP is the
-    deterministic per-Gaussian gradient reduction — the reference
-    backward's atomicAdd, backward.cu:523,545-554), and runs the blend.
-    The shared top half of rasterize / the sharded band steps."""
-    from gaussianmesh_tpu.ops.segsum import gather_rows, gather_rows_counted
+    table onto it, and runs the blend. The shared top half of rasterize /
+    the sharded band steps.
+
+    When the producer supplied exact per-Gaussian pair multiplicities
+    (gid_counts), the gather + blend pair is ONE fused custom-VJP op
+    whose backward composes the kernel's aligned-domain gradient rows
+    directly into the per-Gaussian reduction (the reference backward's
+    atomicAdd, backward.cu:523,545-554, made deterministic): one sort by
+    gid carrying the aligned destinations + ONE wide gather + the
+    pairwise tree — no intermediate sorted-domain gradient buffer, one
+    fewer m-row wide gather and materialization than chaining the two
+    ops' separate VJPs."""
+    from gaussianmesh_tpu.ops.segsum import gather_rows
     m = tiles.sorted_gid.shape[0]
     pad_len = 2 * chunk + (-m) % chunk
     gid_pad = jnp.concatenate([
@@ -732,9 +831,12 @@ def blend_sorted_table(feat: jax.Array, tiles, grid_x: int,
         rest = (m + pad_len
                 - jnp.sum(tiles.gid_counts)).astype(jnp.int32)[None]
         counts_full = jnp.concatenate([tiles.gid_counts, rest])
-        feat_sorted = gather_rows_counted(feat, gid_pad, counts_full)
-    else:
-        feat_sorted = gather_rows(feat, gid_pad)         # (m_pad, F)
+        return blend_table_fused(
+            feat, gid_pad, counts_full, tile_pad, live_pad,
+            tiles.block_tile, tiles.aligned_starts, tiles.starts,
+            tiles.counts, tiles.sorted_shift, grid_x, num_tiles, p_cap,
+            chunk, with_contrib)
+    feat_sorted = gather_rows(feat, gid_pad)             # (m_pad, F)
     return blend_sorted_features(
         feat_sorted, tile_pad, live_pad, tiles.block_tile,
         tiles.aligned_starts, tiles.starts, tiles.counts,
@@ -847,9 +949,11 @@ def _sorted_fwd_rule(feat_sorted, sorted_tile, live, block_tile,
                  sorted_shift, ckpt, final_t)
 
 
-def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
-    (qtabT, block_tile, aligned_starts, starts, counts, sorted_shift,
-     ckpt, final_t) = res
+def _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts, counts,
+                    ckpt, final_t, cts, grid_x, num_tiles, p_cap, chunk):
+    """Invoke the backward blend kernel; returns aligned-domain gradient
+    rows d_pad (p_cap + 1, FEAT) in pack_features layout — row p_cap is
+    an all-zero sink for dead destinations."""
     g_color, g_final_t, _ = cts
     f_rows, m_pad = qtabT.shape
     pb = p_cap // chunk
@@ -886,18 +990,104 @@ def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
     )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
       counts.astype(jnp.int32), starts.astype(jnp.int32), qtabT, g8, ckpt)
 
+    # materialize the transpose before any gather from it (a gather of
+    # rows from a lazily-transposed array would lower as a lane gather)
+    dpart = jax.lax.optimization_barrier(dpartT.T)       # (p_cap, FEAT)
+    return jnp.concatenate([dpart, jnp.zeros_like(dpart[:1])])
+
+
+def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
+    (qtabT, block_tile, aligned_starts, starts, counts, sorted_shift,
+     ckpt, final_t) = res
+    f_rows, m_pad = qtabT.shape
+    d_pad = _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts,
+                            counts, ckpt, final_t, cts, grid_x, num_tiles,
+                            p_cap, chunk)
     # aligned -> sorted: deterministic inverse gather (each live sorted
     # row has a unique aligned position); padding rows get zero. The
     # kernel already emitted pack_features-layout rows, so this IS
     # d(feat_sorted) — no q-table backward exists.
     m = sorted_shift.shape[0]
-    dpart = dpartT.T                                     # (p_cap, FEAT)
-    d_pad = jnp.concatenate([dpart, jnp.zeros_like(dpart[:1])])
     p_idx = jnp.arange(m, dtype=jnp.int32)
     dest = jnp.clip(p_idx + sorted_shift, 0, p_cap)
     d_sorted = d_pad[dest]                               # (m, FEAT)
-    d_feat = jnp.zeros((m_pad, f_rows), dpart.dtype).at[:m].set(d_sorted)
+    d_feat = jnp.zeros((m_pad, f_rows), d_pad.dtype).at[:m].set(d_sorted)
     return (d_feat, None, None, None, None, None, None, None)
 
 
 blend_sorted_features.defvjp(_sorted_fwd_rule, _sorted_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Fused table gather + blend: one custom-VJP op spanning
+# feat[gid] -> qtable -> kernel. Identical forward math to
+# gather_rows_counted + blend_sorted_features; the backward runs the
+# blend kernel and reduces its ALIGNED-domain gradient rows straight
+# into the (N + 1, FEAT) table: sort (gid, aligned_dest) by gid, ONE
+# wide gather from the kernel output, then segsum's pairwise tree.
+# Compared to composing the two ops' separate VJPs this skips the
+# intermediate (m_pad, FEAT) sorted-domain gradient (one wide gather +
+# one materialization + one .at[].set over the full pair domain).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def blend_table_fused(feat, gid_pad, counts_full, sorted_tile, live,
+                      block_tile, aligned_starts, starts, counts,
+                      sorted_shift, grid_x: int, num_tiles: int,
+                      p_cap: int, chunk: int = 128,
+                      with_contrib: bool = False):
+    """feat (R, FEAT) table; gid_pad (m_pad,) sorted-domain gaussian ids
+    (R - 1 = dummy); counts_full (R,) EXACT per-row multiplicities
+    (#{p: gid_pad[p] == r}; unchecked contract, same as
+    segsum.gather_rows_counted). Remaining args as blend_sorted_features.
+    Only `feat` is differentiable."""
+    feat_sorted = feat[gid_pad]
+    qtabT = _qtabT(feat_sorted, sorted_tile, live, grid_x)
+    out, _ = _sorted_fwd_impl(qtabT, block_tile, aligned_starts,
+                              starts, counts, grid_x, num_tiles, p_cap,
+                              chunk, with_contrib)
+    return out
+
+
+def _fused_fwd_rule(feat, gid_pad, counts_full, sorted_tile, live,
+                    block_tile, aligned_starts, starts, counts,
+                    sorted_shift, grid_x, num_tiles, p_cap, chunk,
+                    with_contrib):
+    feat_sorted = feat[gid_pad]
+    qtabT = _qtabT(feat_sorted, sorted_tile, live, grid_x)
+    out, ckpt = _sorted_fwd_impl(qtabT, block_tile, aligned_starts,
+                                 starts, counts, grid_x, num_tiles, p_cap,
+                                 chunk, with_contrib)
+    _, final_t, _ = out
+    res = (qtabT, gid_pad, counts_full, block_tile, aligned_starts,
+           starts, counts, sorted_shift, ckpt, final_t, feat.shape[0])
+    return out, res
+
+
+def _fused_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
+    from gaussianmesh_tpu.ops.segsum import _reduce_grouped
+    (qtabT, gid_pad, counts_full, block_tile, aligned_starts, starts,
+     counts, sorted_shift, ckpt, final_t, n_rows) = res
+    d_pad = _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts,
+                            counts, ckpt, final_t, cts, grid_x, num_tiles,
+                            p_cap, chunk)
+    # gid-grouped aligned destinations: dead / padding slots (shift
+    # sentinel or past m) land on the zero sink row p_cap
+    m = sorted_shift.shape[0]
+    m_pad = gid_pad.shape[0]
+    p_idx = jnp.arange(m, dtype=jnp.int32)
+    dest = jnp.concatenate([
+        jnp.clip(p_idx + sorted_shift, 0, p_cap),
+        jnp.full((m_pad - m,), p_cap, jnp.int32)])
+    sg, dest_g = jax.lax.sort((gid_pad, dest), num_keys=1, is_stable=True)
+    ds = d_pad[dest_g]                                   # (m_pad, FEAT)
+    head_starts = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(counts_full).astype(jnp.int32)])[:n_rows]
+    head_pos = jnp.where(counts_full > 0, head_starts, m_pad)
+    d_feat = _reduce_grouped(sg, ds, head_pos, n_rows)
+    return (d_feat, None, None, None, None, None, None, None, None, None)
+
+
+blend_table_fused.defvjp(_fused_fwd_rule, _fused_bwd_rule)

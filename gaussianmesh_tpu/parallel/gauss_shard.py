@@ -217,10 +217,10 @@ def make_gauss_sharded_train_step(mesh, tx, cfg: RasterizerConfig,
     every cross-band term. Parameter gradients need NO collective: the
     exchange transpose already lands each cotangent on the owner.
 
-    Densification note: the fixed-capacity subdivision densifier
-    currently runs in the replicated regime; with sharded tables, run it
-    per shard on the host path (capacities are per-shard) or train with
-    densify_until=0.
+    Densification: handled by train.densify.densify_and_split_gauss_sharded
+    — per-shard masked compaction with O(D) cross-shard traffic and global
+    vertex ids from an exclusive scan; MeshTrainer wires it up (and
+    rebalances shards) when shard_gaussians > 1.
     """
     import optax
     from gaussianmesh_tpu.models import mesh_gaussians as mgs

@@ -503,6 +503,56 @@ class MeshTrainer:
                     opt_state=self.opt_state, sh_degree=self.sh_degree,
                     key=self.key, global_it=jnp.int32(self.global_it))
 
+    def save_ckpt(self, path: str) -> str:
+        """Write a full-training-state checkpoint; returns the path used.
+
+        Sharded regime (shard_gaussians > 1): orbax OCDBT directory at
+        `path + ".orbax"` — each shard written from its owner, never
+        gathering the global table to one host (utils/checkpoint.py).
+        Otherwise: single msgpack file at `path` (the reference's
+        jt.save tuple, train_mesh_gaussian.py:133-135)."""
+        from gaussianmesh_tpu.utils import checkpoint as ckpt_mod
+        if self.gauss_mesh is not None:
+            path = path + ".orbax"
+            ckpt_mod.save_checkpoint_sharded(path, self.capture())
+        else:
+            ckpt_mod.save_checkpoint(path, self.capture())
+        return path
+
+    def load_ckpt(self, path: str) -> None:
+        """Restore from either checkpoint flavor (autodetected: orbax
+        checkpoints are directories)."""
+        from gaussianmesh_tpu.utils import checkpoint as ckpt_mod
+        import os
+        if not os.path.isdir(path) and os.path.isdir(path + ".orbax"):
+            path = path + ".orbax"
+        template = self.capture()
+        if os.path.isdir(path):
+            if self.gauss_mesh is not None:
+                # restore each table shard straight to its owner: leaves
+                # with the table's leading dim get P("shard"), the rest
+                # replicate. (A fresh trainer's own arrays are
+                # single-device; restoring onto THEM would commit the
+                # whole state to one device and break the shard_map.)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                c = self.binding.alive.shape[0]
+                mesh = self.gauss_mesh
+
+                def spec(x):
+                    if hasattr(x, "dtype") and hasattr(x, "shape"):
+                        sharded = (getattr(x, "ndim", 0) > 0
+                                   and x.shape[0] == c)
+                        s = NamedSharding(
+                            mesh, P("shard") if sharded else P())
+                        return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                    sharding=s)
+                    return x
+
+                template = jax.tree.map(spec, template)
+            self.restore(ckpt_mod.load_checkpoint_sharded(path, template))
+        else:
+            self.restore(ckpt_mod.load_checkpoint(path, template))
+
     def restore(self, tree) -> None:
         self.params = tree["params"]
         self.binding = tree["binding"]

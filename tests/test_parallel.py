@@ -338,6 +338,59 @@ def test_mesh_trainer_gauss_sharded(setup):
     assert losses[-1] < losses[0] * 1.2
 
 
+def test_mesh_trainer_gauss_sharded_ckpt_resume(setup, tmp_path):
+    """Sharded train -> orbax checkpoint THROUGH a densify event -> fresh
+    trainer -> resume -> end state equals the uninterrupted run
+    (VERDICT r2 #5: --auto_resume regression in the sharded regime; ref
+    semantics train_mesh_gaussian.py:133-135)."""
+    from gaussianmesh_tpu.config import OptimizationParams, RuntimeParams
+    from gaussianmesh_tpu.train.trainer import DeviceDataset, MeshTrainer
+    from tests.meshes import icosphere
+
+    _, _, _, cams, gts = setup
+    ds = DeviceDataset(
+        view=jnp.stack([c.viewmatrix for c in cams]),
+        proj=jnp.stack([c.projmatrix for c in cams]),
+        campos=jnp.stack([c.campos for c in cams]),
+        tanfovx=jnp.stack([c.tanfovx for c in cams]),
+        tanfovy=jnp.stack([c.tanfovy for c in cams]),
+        images=jnp.asarray(np.stack([(np.asarray(g) * 255).astype(np.uint8)
+                                     for g in gts])),
+        masks=None, width=W, height=H)
+    v, f = icosphere(1)
+    opt = OptimizationParams(densify_from_iter=5, densify_until_iter=25,
+                             densification_interval=10,
+                             opacity_reset_interval=10_000)
+    rt = RuntimeParams(max_per_tile=128, use_pallas=False,
+                       shard_gaussians=4)
+
+    def make():
+        return MeshTrainer(v, f, ds, opt, rt, spatial_lr_scale=3.2,
+                           init_target=100, max_sh_degree=1)
+
+    # uninterrupted run: 30 iters (densify fires at 5, 15, 25)
+    tr_a = make()
+    tr_a.train(iterations=30, log_every=100)
+
+    # interrupted: 16 iters (past the iter-15 densify), ckpt, fresh
+    # trainer, resume, finish
+    tr_b = make()
+    tr_b.train(iterations=16, log_every=100)
+    path = tr_b.save_ckpt(str(tmp_path / "chkpnt16.ckpt"))
+    assert path.endswith(".orbax")       # sharded regime -> orbax flavor
+    tr_c = make()
+    tr_c.load_ckpt(str(tmp_path / "chkpnt16.ckpt"))
+    assert tr_c.global_it == 16
+    tr_c.train(iterations=14, log_every=100)
+
+    assert int(tr_c.binding.alive.sum()) == int(tr_a.binding.alive.sum())
+    for name in ("bc", "distance", "opacity", "scaling", "rotation"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(tr_c.params, name)),
+            np.asarray(getattr(tr_a.params, name)), atol=1e-6,
+            err_msg=name)
+
+
 def test_multihost_helpers_single_process():
     from gaussianmesh_tpu.parallel import multihost
     multihost.initialize()          # no env -> no-op

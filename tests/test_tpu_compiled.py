@@ -73,6 +73,123 @@ def test_compiled_grads_match_jnp(small_scene):
                                    err_msg=name)
 
 
+def test_gauss_sharded_step_compiled():
+    """The gauss-sharded band step COMPILED on the real chip at a
+    non-toy shape (VERDICT r2 #6): one-device mesh (the container has a
+    single chip), so the all_to_all degenerates but the whole exchange
+    pipeline — bucket sort, capacity slotting, receiver 3-key sort,
+    finish_tile_lists, compiled Mosaic blend fwd+bwd — runs exactly as
+    in the D-device regime. Checks parity against the plain rasterizer
+    on the same scene and that gradients are finite."""
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from gaussianmesh_tpu.models.render import GaussianArrays
+    from gaussianmesh_tpu.parallel import gauss_shard
+
+    w, h, n = 512, 512, 20_000
+    cam = look_at_camera(w, h, distance=3.5)
+    sc = random_gaussians(n, seed=1, spread=1.0,
+                          scale_range=(0.004, 0.02))
+    cfg = RasterizerConfig(width=w, height=h, max_per_tile=512,
+                           blend_chunk=128, use_pallas=True)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("shard",))
+    gy = cfg.grid[1]
+
+    def body(xyz, cov6, op, rgb):
+        arrays = GaussianArrays(xyz=xyz, cov6=cov6, opacity=op, rgb=rgb,
+                                active=jnp.ones(xyz.shape[0], bool))
+        out = gauss_shard.rasterize_band_gauss_sharded(
+            arrays, cam, cfg, gy_local=gy, axis_name="shard",
+            send_capacity=cfg.expand_capacity(n), bg=BG)
+        return out.color, (out.send_overflow + out.tile_overflow
+                           + out.pair_overflow)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
+        out_specs=(P("shard"), P()), check_vma=False))
+    color, ovf = fn(sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"])
+    assert int(ovf) == 0
+    ref = rasterize(sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"],
+                    BG, cam, cfg)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                               atol=2e-3)
+
+    def loss(xyz):
+        c, _ = fn(xyz, sc["cov6"], sc["opacity"], sc["rgb"])
+        return jnp.sum(c * c)
+
+    g = jax.jit(jax.grad(loss))(sc["means3d"])
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_train_quality_gate_compiled():
+    """Raised e2e quality gate (VERDICT r2 #8): 128x128, 1500 iters on
+    the compiled kernels through multiple densify events AND an opacity
+    reset, with a PSNR bar (>= 20) that a real regression (mis-weighted
+    SSIM, broken densify threshold, opacity-reset bug) fails — the CPU
+    suite keeps only the 64x64/300-iter smoke floor because this run
+    needs compiled-kernel speed."""
+    import numpy as np
+    from gaussianmesh_tpu.config import OptimizationParams, RuntimeParams
+    from gaussianmesh_tpu.models import mesh_gaussians as mgs
+    from gaussianmesh_tpu.models import render as render_mod
+    from gaussianmesh_tpu.train.trainer import DeviceDataset, MeshTrainer
+    from gaussianmesh_tpu.utils import sh as sh_utils
+    from tests.meshes import icosphere
+
+    w = h = 128
+    cams = [look_at_camera(w, h, distance=3.2,
+                           azimuth=2 * np.pi * i / 16,
+                           elevation=0.5 * np.sin(i * 1.7))
+            for i in range(16)]
+
+    # teacher: colored near-opaque sphere, rendered with our renderer
+    v, f = icosphere(2)
+    p, b, _, _ = mgs.create_from_mesh(jnp.asarray(v), jnp.asarray(f),
+                                      capacity=512, vertex_capacity=2048)
+    cent = np.asarray(mgs.get_xyz(p, b))
+    cols = (cent / np.abs(cent).max() + 1.0) / 2.0
+    # high-frequency modulation so under-densification shows up in PSNR
+    cols = cols * (0.6 + 0.4 * np.cos(12.0 * cent[:, :1]))
+    p = p.replace(
+        features_dc=jnp.asarray(
+            sh_utils.rgb_to_sh(cols))[:, None, :].astype(jnp.float32),
+        opacity=jnp.full_like(p.opacity, 4.0))
+    tcfg = RasterizerConfig(width=w, height=h, max_per_tile=512,
+                            use_pallas=True)
+    imgs = []
+    for cam in cams:
+        arrays = render_mod.mesh_model_arrays(p, b, cam, sh_degree=0)
+        out = render_mod.render(arrays, cam, tcfg, jnp.ones(3))
+        imgs.append(np.asarray(jnp.clip(out.color, 0, 1)))
+
+    ds = DeviceDataset(
+        view=jnp.stack([c.viewmatrix for c in cams]),
+        proj=jnp.stack([c.projmatrix for c in cams]),
+        campos=jnp.stack([c.campos for c in cams]),
+        tanfovx=jnp.stack([c.tanfovx for c in cams]),
+        tanfovy=jnp.stack([c.tanfovy for c in cams]),
+        images=jnp.asarray(np.stack([(i * 255).astype(np.uint8)
+                                     for i in imgs])),
+        masks=None, width=w, height=h)
+
+    v1, f1 = icosphere(1)                  # coarse 80-face proxy
+    opt = OptimizationParams(
+        densification_interval=150, densify_from_iter=100,
+        densify_until_iter=1000, opacity_reset_interval=600,
+        position_lr_max_steps=1500)
+    rt = RuntimeParams(max_per_tile=512, use_pallas=True)
+    trainer = MeshTrainer(v1, f1, ds, opt, rt, spatial_lr_scale=3.2,
+                          init_target=600, max_sh_degree=1)
+    n0 = int(trainer.binding.alive.sum())
+    trainer.train(iterations=1500, log_every=500)
+    assert int(trainer.binding.alive.sum()) > n0   # densify fired
+    psnr = trainer.eval_psnr(indices=range(0, 16, 4))
+    assert psnr > 20.0, psnr
+
+
 @pytest.mark.parametrize("steps", [2, 4])
 def test_bench_scale_scan_regression(steps):
     """scan(fwd+bwd) at 1080p/100K — the exact shape that aborted the TPU

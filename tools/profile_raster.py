@@ -28,9 +28,13 @@ WIDTH, HEIGHT = 1920, 1080
 _pos = [a for a in sys.argv[1:] if not a.startswith("-")]
 N = int(_pos[0]) if _pos else 100_000
 STEPS = 10
+CHUNK = 256
+for a in sys.argv[1:]:
+    if a.startswith("--chunk="):
+        CHUNK = int(a.split("=")[1])
 
 cfg = RasterizerConfig(width=WIDTH, height=HEIGHT, max_per_tile=1024,
-                       blend_chunk=128, pair_capacity_per_gaussian=9,
+                       blend_chunk=CHUNK, pair_capacity_per_gaussian=9,
                        row_capacity_per_gaussian=3, use_pallas=True)
 cam = look_at_camera(WIDTH, HEIGHT, distance=4.0)
 sc = random_gaussians(N, seed=0, spread=1.4, scale_range=(0.004, 0.02))
