@@ -17,14 +17,16 @@ scan transcription in tests/test_oracle.py) but runs as vectorized VPU math
 Two implementations with identical math:
   * `blend_tiles_jnp` — pure jnp vmap/lax.map over tiles; runs anywhere
     (CPU tests), differentiable by autodiff. The oracle for the kernel.
-  * `blend_sorted_pallas` — Pallas TPU kernels (forward + custom VJP
-    backward) streaming the compacted, tile-grouped pair buffer in
-    chunk-aligned blocks, flash-attention style: carried transmittance in
-    scratch, segmented (tile-boundary-resetting) transmittance scans over
-    G = chunk/64 alignment granules per grid step, per-block chunk
-    skipping driven by scalar-prefetched ranges, and per-block entry
-    transmittance checkpoints so the backward re-derives exp factors
-    without a reverse-sweep data dependency.
+  * `blend_sorted_features` / `blend_table_fused` — Pallas TPU kernels
+    (forward + custom VJP backward) streaming the compacted,
+    tile-grouped pair buffer in chunk-aligned blocks, flash-attention
+    style: carried transmittance in scratch; per-granule UNSEGMENTED
+    log-step scans (granules never span tiles) + a G-step cross-granule
+    combine; banded one-issue MXU contractions for alphas, colors and
+    the backward cotangents; a block-granular saturation skip (the
+    reference's early termination, exact at block granularity); and
+    per-block entry transmittance checkpoints so the backward
+    re-derives exp factors without a reverse-sweep data dependency.
 
 Gradient-semantics note: gradients through `min(0.99, alpha)` are masked
 when the cap is active (the mathematically consistent choice); the
@@ -252,6 +254,11 @@ def _granule_extract(buf, slot, g, src0):
     off = jax.lax.rem(src0, 2 * ALIGN)
     shifted = pltpu.roll(buf[slot, g], _GWIN - off, axis=1)
     return shifted[:, :ALIGN]
+
+
+def _lane_granule(chunk):
+    """(1, chunk) granule index per lane."""
+    return jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) // ALIGN
 
 
 def _gvec(vals, size):
@@ -504,17 +511,23 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             w = alpha_t * (srow * cum_excl) * incl
             carry[0, :] = s[chunk - 1]
 
-            # ---- per-granule color accumulation ----
+            # ---- color accumulation: ONE banded MXU contraction ----
+            # rgb rows land in band 3g of a (3G, chunk) matrix (zeros
+            # outside their granule's lanes), so dot(rgbcat, w) yields
+            # every granule's (3, PIX) color block in one MXU issue
+            # instead of G small ones (MXU issue latency was a real
+            # per-block cost at G = 4).
+            rgbcat = jnp.concatenate(
+                [jnp.where(_lane_granule(chunk) == g,
+                           featw[ROW_R:ROW_B + 1], 0.0)
+                 for g in range(G)], axis=0)              # (3G, chunk)
+            colors_all = jax.lax.dot_general(
+                rgbcat, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (3G, PIX)
             for g in range(G):
-                gl = slice(g * ALIGN, (g + 1) * ALIGN)
-
                 @pl.when(tg[g] < num_tiles)
-                def _accum(g=g, gl=gl):
-                    colors = jax.lax.dot_general(
-                        featw[ROW_R:ROW_B + 1, gl], w[gl],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # (3, PIX)
-                    outs[g][0, 0:3, :] += colors
+                def _accum(g=g):
+                    outs[g][0, 0:3, :] += colors_all[3 * g:3 * g + 3]
 
             # ---- final_t / n_contrib bookkeeping ----
             # cum restarts per tile within the block, so a tile's
@@ -691,21 +704,27 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             incl = (srow * cum) >= T_EPS
             w = alpha_t * s_excl * incl
 
-            # ---- per-granule dldw / color cotangents (tile-owned g) ----
-            dldws = []
-            cws = []
-            for g in range(G):
-                gl = slice(g * ALIGN, (g + 1) * ALIGN)
-                # dldw[l, p] = sum_c rgb[c, l] g[c, p] — MXU, no transposes
-                dldws.append(jax.lax.dot_general(
-                    featw[ROW_R:ROW_B + 1, gl], gsels[g][0:3, :],
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))  # (ALIGN, PIX)
-                cws.append(jax.lax.dot_general(
-                    gsels[g][0:3, :], w[gl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))  # (3, ALIGN)
-            dldw = jnp.concatenate(dldws, axis=0)         # (chunk, PIX)
-            cw = jnp.concatenate(cws, axis=1)             # (3, chunk)
+            # ---- dldw / color cotangents: banded one-MXU form ----
+            # dldw[l, p] = sum_c rgb[c, l] g_{granule(l)}[c, p]: banding
+            # the rgb rows per granule (rgbcat (3G, chunk)) against the
+            # stacked per-granule g rows (gcat (3G, PIX)) contracts all
+            # granules in ONE issue; same trick for cw, selecting each
+            # lane's granule band afterwards.
+            lane_g = _lane_granule(chunk)
+            rgbcat = jnp.concatenate(
+                [jnp.where(lane_g == g, featw[ROW_R:ROW_B + 1], 0.0)
+                 for g in range(G)], axis=0)              # (3G, chunk)
+            gcat = jnp.concatenate([gsels[g][0:3, :] for g in range(G)],
+                                   axis=0)                # (3G, PIX)
+            dldw = jax.lax.dot_general(
+                rgbcat, gcat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (chunk, PIX)
+            cw_all = jax.lax.dot_general(
+                gcat, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (3G, chunk)
+            cw = cw_all[0:3]
+            for g in range(1, G):
+                cw = jnp.where(lane_g == g, cw_all[3 * g:3 * g + 3], cw)
 
             # ---- segmented suffix accumulation of dL/dalpha ----
             a_mat = dldw * w

@@ -1,0 +1,221 @@
+"""Deformation-playback benchmarks: BASELINE configs 3 and 5 on the chip.
+
+Config 3 — single-object mesh-sequence playback at 1080p: a synthetic
+trained-style object (~82K near-opaque mesh-bound Gaussians on an
+icosphere proxy) driven by a twisting vertex sequence through the FULL
+per-frame pipeline (one-ring deformation gradients -> polar R/S ->
+barycentric transfer -> SH at rotated view dirs -> rasterize), fused per
+frame and batched per dispatch (edit/runtime.playback_sequence). The
+reference's claim being raced: "Real-time Large-scale Deformation"
+(/root/reference/README.md:1-3), i.e. >= 30 fps.
+
+Config 5 — multi-object + background composite playback at 1080p: three
+objects (one deforming per frame) + a 100K-Gaussian background model
+composited and rasterized per frame (parallel.edit_step on a (1, 1)
+mesh: the same fused frame function the sharded regime uses).
+
+Writes results/playback.json and prints one JSON line:
+  {"metric": "playback_fps_1080p", ...,
+   "detail": {"config3_fps": ..., "config5_fps": ...}}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+WIDTH, HEIGHT = 1920, 1080
+FRAMES = 32
+BATCH = 16
+
+_CAL = None
+
+
+def _calibration() -> float:
+    """Per-dispatch relay overhead (seconds) — the axon relay polls
+    completion on a ~30 ms tick, so subtract one tick per dispatch."""
+    global _CAL
+    if _CAL is None:
+        @jax.jit
+        def empty(x):
+            out, _ = jax.lax.scan(lambda c, _: (c + x * 1e-30, None),
+                                  jnp.float32(0.0), None, length=4)
+            return out
+        x = jnp.float32(1.0)
+        jax.block_until_ready(empty(x))
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(empty(x))
+            samples.append(time.perf_counter() - t0)
+        _CAL = min(samples)
+    return _CAL
+
+
+def _twist_frames(v: np.ndarray, n_frames: int, amp=0.6) -> np.ndarray:
+    out = []
+    for i in range(n_frames):
+        a = amp * np.sin(2 * np.pi * i / n_frames)
+        ang = a * v[:, 2]
+        c, s = np.cos(ang), np.sin(ang)
+        out.append(np.stack([c * v[:, 0] - s * v[:, 1],
+                             s * v[:, 0] + c * v[:, 1], v[:, 2]], axis=-1))
+    return np.stack(out).astype(np.float32)
+
+
+def _make_object(tmp: str, level: int, name: str, offset=(0, 0, 0),
+                 opacity_logit=4.0):
+    """Synthetic trained-style object: one near-opaque Gaussian per face
+    of an icosphere, saved as PLY + OBJ for the edit runtime loaders."""
+    from gaussianmesh_tpu.io import gaussian_ply, mesh as mesh_io
+    from gaussianmesh_tpu.models import mesh_gaussians as mgs
+    from gaussianmesh_tpu.utils import sh as sh_utils
+    from tests.meshes import icosphere
+
+    v, f = icosphere(level)
+    v = v + np.asarray(offset, np.float32)
+    n = f.shape[0]
+    p, b, _, _ = mgs.create_from_mesh(jnp.asarray(v), jnp.asarray(f),
+                                      capacity=n, vertex_capacity=4 * n)
+    cent = np.asarray(mgs.get_xyz(p, b))
+    cols = (cent - cent.min(0)) / (np.ptp(cent, 0) + 1e-6)
+    p = p.replace(
+        features_dc=jnp.asarray(sh_utils.rgb_to_sh(cols))[:, None, :].astype(
+            jnp.float32),
+        opacity=jnp.full_like(p.opacity, opacity_logit))
+    ply = os.path.join(tmp, f"{name}.ply")
+    obj = os.path.join(tmp, f"{name}.obj")
+    gaussian_ply.save_mesh_gaussian_ply(ply, p, b)
+    mesh_io.write_triangle_mesh(obj, v, f)
+    return ply, obj, v, f
+
+
+def main():
+    import tempfile
+    from gaussianmesh_tpu.edit.runtime import (ObjectDeformer, SceneEditor,
+                                               playback_sequence)
+    from gaussianmesh_tpu.io import gaussian_ply
+    from gaussianmesh_tpu.models import gaussians as gs
+    from gaussianmesh_tpu.ops.rasterize import RasterizerConfig
+    from tests.scenes import look_at_camera
+
+    tmp = tempfile.mkdtemp(prefix="gm_playback_")
+    cam = look_at_camera(WIDTH, HEIGHT, distance=4.0)
+    out = {"backend": jax.default_backend(), "width": WIDTH,
+           "height": HEIGHT, "frames": FRAMES}
+
+    # ---------------- config 3: single object ----------------
+    ply, objpath, v, f = _make_object(tmp, level=6, name="main")
+    obj = ObjectDeformer(ply, objpath)
+    n_g = int(obj.n)
+    out["config3_n_gauss"] = n_g
+    out["config3_proxy"] = {"verts": int(v.shape[0]), "faces": int(f.shape[0])}
+    cfg = RasterizerConfig(width=WIDTH, height=HEIGHT, max_per_tile=1024,
+                           blend_chunk=256, use_pallas=True)
+    frames = jnp.asarray(_twist_frames(v, FRAMES))
+
+    imgs = playback_sequence(obj, cam, cfg, frames[:BATCH], batch=BATCH)
+    jax.block_until_ready(imgs)                      # compile + warmup
+    n_disp = -(-FRAMES // BATCH)
+    t0 = time.perf_counter()
+    imgs = playback_sequence(obj, cam, cfg, frames, batch=BATCH)
+    jax.block_until_ready(imgs)
+    dt = (time.perf_counter() - t0 - n_disp * _calibration()) / FRAMES
+    out["config3_ms_per_frame"] = round(dt * 1e3, 2)
+    out["config3_fps"] = round(1.0 / dt, 1)
+    out["config3_mean_px"] = float(jnp.mean(imgs))
+
+    # ---------------- config 5: multi-object + background ----------------
+    editor = SceneEditor()
+    editor.add_object(ply, objpath, name="main")
+    for i, off in enumerate([(2.2, 0.6, 0.0), (-2.2, -0.6, 0.3)]):
+        p2, o2, _, _ = _make_object(tmp, level=4, name=f"side{i}",
+                                    offset=off)
+        editor.add_object(p2, o2, name=f"side{i}")
+    # background: 100K random vanilla Gaussians around the scene
+    rng = np.random.default_rng(0)
+    nbg = 100_000
+    bgp, bg_state = gs.create_from_points(
+        jnp.asarray(rng.uniform(-6, 6, (nbg, 3)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 1, (nbg, 3)).astype(np.float32)),
+        capacity=nbg, max_sh_degree=1)
+    bgp = bgp.replace(scaling=jnp.full((nbg, 3), np.log(0.05), jnp.float32))
+    bg_ply = os.path.join(tmp, "bg.ply")
+    gaussian_ply.save_gaussian_ply(bg_ply, bgp, bg_state.alive)
+    editor._bg_params, editor._bg_alive = gaussian_ply.load_gaussian_ply(
+        bg_ply, max_sh_degree=1)
+    editor._bg_sh_degree = 1
+    out["config5_n_gauss_total"] = int(
+        sum(int(o.n) for o in editor.objects.values()) + nbg)
+
+    # fused composite frame fn (same structure as edit_step's body, on
+    # one device), frames batched per dispatch so the relay tick
+    # amortizes exactly like config 3
+    from gaussianmesh_tpu.edit.runtime import deformed_object_arrays
+    from gaussianmesh_tpu.models.render import concat_arrays
+    from gaussianmesh_tpu.ops.rasterize import rasterize
+    main_obj = editor.objects["main"]
+    static_arrays = None
+    for name, other in editor.objects.items():
+        if name == "main":
+            continue
+        a = other.arrays(cam)
+        static_arrays = a if static_arrays is None else concat_arrays(
+            static_arrays, a)
+    static_arrays = concat_arrays(static_arrays, editor._bg_arrays(cam))
+    cfg5 = RasterizerConfig(width=WIDTH, height=HEIGHT, max_per_tile=1024,
+                            blend_chunk=256, use_pallas=True)
+    bg_color = jnp.zeros(3)
+
+    def frame5(v_def):
+        arrays = concat_arrays(
+            deformed_object_arrays(main_obj, v_def, cam), static_arrays)
+        o = rasterize(arrays.xyz, arrays.cov6, arrays.opacity, arrays.rgb,
+                      bg_color, cam, cfg5, active_mask=arrays.active)
+        return o.color
+
+    b5 = 8    # 8 x 1080p f32 frames per dispatch (~200 MB output)
+
+    @jax.jit
+    def run5(vs):
+        return jax.lax.map(frame5, vs)
+
+    img = run5(frames[:b5])
+    jax.block_until_ready(img)
+    n_disp = -(-FRAMES // b5)
+    t0 = time.perf_counter()
+    for i in range(0, FRAMES, b5):
+        img = run5(frames[i:i + b5])
+    jax.block_until_ready(img)
+    dt5 = (time.perf_counter() - t0 - n_disp * _calibration()) / FRAMES
+    out["config5_ms_per_frame"] = round(dt5 * 1e3, 2)
+    out["config5_fps"] = round(1.0 / dt5, 1)
+    out["config5_mean_px"] = float(jnp.mean(img))
+
+    os.makedirs("results", exist_ok=True)
+    with open("results/playback.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({
+        "metric": "playback_fps_1080p", "value": out["config3_fps"],
+        "unit": "fps", "vs_baseline": round(out["config3_fps"] / 30.0, 3),
+        "detail": {"config3_fps": out["config3_fps"],
+                   "config5_fps": out["config5_fps"],
+                   "config3_n_gauss": n_g,
+                   "config5_n_gauss_total": out["config5_n_gauss_total"],
+                   "file": "results/playback.json"},
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
