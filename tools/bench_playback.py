@@ -203,6 +203,51 @@ def main():
     out["config5_fps"] = round(1.0 / dt5, 1)
     out["config5_mean_px"] = float(jnp.mean(img))
 
+    # ---------------- config 4: bg-composite training step ----------------
+    # BASELINE config 4 (mesh + background training): one fwd+bwd step of
+    # the BgTrainer composite render (frozen 82K-Gaussian fg + 100K-
+    # Gaussian bg) at 1080p, measured over many dispatched steps with the
+    # relay tick subtracted.
+    try:
+        from gaussianmesh_tpu.config import (OptimizationParams,
+                                             RuntimeParams)
+        from gaussianmesh_tpu.models import mesh_gaussians as mgs
+        from gaussianmesh_tpu.train.bg_trainer import BgTrainer
+        from gaussianmesh_tpu.train.trainer import DeviceDataset
+        from tests.meshes import icosphere
+
+        v6, f6 = icosphere(6)
+        n6 = f6.shape[0]
+        fp, fb, _, _ = mgs.create_from_mesh(jnp.asarray(v6),
+                                            jnp.asarray(f6), capacity=n6,
+                                            vertex_capacity=4 * n6)
+        fp = fp.replace(opacity=jnp.full_like(fp.opacity, 4.0))
+        gt = (np.zeros((1, 3, HEIGHT, WIDTH)) + 0.5).astype(np.float32)
+        ds = DeviceDataset(
+            view=cam.viewmatrix[None], proj=cam.projmatrix[None],
+            campos=cam.campos[None], tanfovx=cam.tanfovx[None],
+            tanfovy=cam.tanfovy[None],
+            images=jnp.asarray((gt * 255).astype(np.uint8)),
+            masks=None, width=WIDTH, height=HEIGHT)
+        opt4 = OptimizationParams(densify_from_iter=10**9,
+                                  opacity_reset_interval=10**9)
+        rt4 = RuntimeParams(max_per_tile=1024, use_pallas=True,
+                            capacity=102_400)
+        bgt = BgTrainer(fp, fb, rng.uniform(-6, 6, (nbg, 3)).astype(
+            np.float32), rng.uniform(0, 1, (nbg, 3)).astype(np.float32),
+            ds, opt4, rt4, spatial_lr_scale=4.0)
+        bgt.train(iterations=3, log_every=10**9)       # compile + warmup
+        steps4 = 30
+        t0 = time.perf_counter()
+        bgt.train(iterations=steps4, log_every=10**9)
+        dt4 = (time.perf_counter() - t0
+               - steps4 * _calibration()) / steps4
+        out["config4_train_step_ms"] = round(dt4 * 1e3, 2)
+        out["config4_it_per_s"] = round(1.0 / dt4, 1)
+        out["config4_n_gauss"] = int(n6 + nbg)
+    except Exception as e:  # noqa: BLE001 — partial artifact beats none
+        out["config4_error"] = f"{type(e).__name__}: {e}"
+
     os.makedirs("results", exist_ok=True)
     with open("results/playback.json", "w") as fh:
         json.dump(out, fh, indent=1)

@@ -206,16 +206,11 @@ def main():
         from gaussianmesh_tpu.models import mesh_gaussians as mgs
         from tests.meshes import icosphere
         v, f = icosphere(3)
-        params, binding, _, _ = mgs.create_from_mesh(
+        params, binding, _, state = mgs.create_from_mesh(
             jnp.asarray(v), jnp.asarray(f), capacity=N_GAUSS,
             vertex_capacity=2 * N_GAUSS)
         tx = optax.adam(1e-3)
         opt_state = tx.init(params)
-        from gaussianmesh_tpu.train.trainer import TrainState
-        state = TrainState(
-            grad_accum=jnp.zeros((N_GAUSS,)),
-            denom=jnp.zeros((N_GAUSS,)),
-            max_radii2d=jnp.zeros((N_GAUSS,)))
         mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
                     (pts.DATA_AXIS, pts.TILE_AXIS))
         h_pad = 68 * 16
