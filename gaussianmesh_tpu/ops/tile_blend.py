@@ -261,85 +261,86 @@ def _lane_granule(chunk):
     return jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) // ALIGN
 
 
-def _gvec(vals, size):
-    """(size, 1) vector holding vals[g] on sublanes [g*ALIGN, (g+1)*ALIGN)."""
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0) // ALIGN
-    out = jnp.broadcast_to(vals[0], (size, 1))
-    for g in range(1, len(vals)):
-        out = jnp.where(gidx >= g, vals[g], out)
-    return out
-
-
 # ---------------------------------------------------------------------------
-# Segmented scans, granule-factored. Tiles are ALIGN-aligned by
-# construction (finish_tile_lists), so a granule NEVER spans tiles and
-# the segmented scan factors exactly into (a) an UNSEGMENTED per-granule
-# log-step scan whose masks are compile-time constants of the in-granule
-# rank — no tvec compares, no dynamic boundary logic — and (b) a
-# cross-granule combine of G - 1 sequential steps on (PIX,) rows. The
-# fully-segmented scan this replaces paid 3 dynamic ops per step; these
-# pay ~2 with constant masks (measured: the scans are the kernels'
-# dominant linear vector cost; an MXU triangular-matmul variant lost —
-# f32 matmul latency exceeded the scan it removed).
+# Segmented scans, granule-factored — PER-GRANULE slice form. Tiles are
+# ALIGN-aligned by construction (finish_tile_lists), so a granule NEVER
+# spans tiles and the segmented scan factors exactly into (a) an
+# UNSEGMENTED Hillis-Steele scan run on each granule's (ALIGN, PIX)
+# sublane-tile-aligned slice — the identity-padded shift makes every
+# per-step mask REDUNDANT (x * [ones; x[:k-d]] == the masked update), so
+# a step costs 2 ops, not 3 — and (b) cross-granule combines carried as
+# (PIX,) ROWS folded in with one broadcast op per granule, replacing the
+# full-array fac_rows / tail_rows selects of the earlier whole-block
+# form. Same operations, same associativity order per output element ⇒
+# bit-identical results; ~35% fewer VPU ops in the transmittance chain
+# (the kernels' measured dominant cost; an MXU triangular-matmul variant
+# lost — f32 matmul latency exceeded the scan it removed).
 # ---------------------------------------------------------------------------
 
 
-def _rank_vec(k):
-    return jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) % ALIGN
+def _split_granules(x, G):
+    return [x[g * ALIGN:(g + 1) * ALIGN] for g in range(G)]
 
 
-def _granule_cumprod(x, tg):
-    """Per-granule inclusive cumprod of (k, PIX) down sublanes + the
-    same-tile cross-granule factors. Returns (cum, fac_rows) where `cum`
-    is the SEGMENTED inclusive cumprod and fac_rows[i] is the product of
-    same-tile predecessor granules' totals for row i's granule (== the
-    exclusive prefix at each granule head)."""
-    k = x.shape[0]
-    G = k // ALIGN
-    rank = _rank_vec(k)
+def _scan_cumprod_granule(xg):
+    """Unsegmented inclusive cumprod down the sublanes of one (ALIGN, P)
+    granule slice. Ones-padded shifts need no rank mask."""
     d = 1
     while d < ALIGN:
-        shifted = jnp.concatenate([jnp.ones_like(x[:d]), x[:k - d]], axis=0)
-        x = jnp.where(rank >= d, x * shifted, x)
+        xg = xg * jnp.concatenate(
+            [jnp.ones_like(xg[:d]), xg[:ALIGN - d]], axis=0)
         d *= 2
-    if G == 1:
-        return x, jnp.ones_like(x)
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) // ALIGN
-    fac = jnp.ones_like(x[0])                   # (PIX,)
-    fac_rows = jnp.ones_like(x)
+    return xg
+
+
+def _scan_sufsum_granule(ag):
+    """Unsegmented INCLUSIVE suffix sum up the sublanes of one (ALIGN, P)
+    granule slice. Zero-padded shifts need no rank mask."""
+    x = ag
+    d = 1
+    while d < ALIGN:
+        x = x + jnp.concatenate(
+            [x[d:], jnp.zeros_like(x[:d])], axis=0)
+        d *= 2
+    return x
+
+
+def _granule_cumprod_parts(x, tg):
+    """Segmented inclusive cumprod of (k, PIX) as per-granule parts.
+
+    Returns (cum_parts, fac) — cum_parts[g] is granule g's rows of the
+    SEGMENTED inclusive cumprod (restarting where the owning tile
+    changes) and fac[g] is the (PIX,) product of same-tile predecessor
+    granules' totals (the exclusive prefix at granule g's head)."""
+    G = x.shape[0] // ALIGN
+    cp = [_scan_cumprod_granule(g) for g in _split_granules(x, G)]
+    fac = [jnp.ones_like(x[0])]
     for g in range(1, G):
-        total_prev = x[g * ALIGN - 1]
-        fac = jnp.where(tg[g] == tg[g - 1], fac * total_prev,
-                        jnp.ones_like(fac))
-        fac_rows = jnp.where(gidx >= g, fac[None, :], fac_rows)
-    return x * fac_rows, fac_rows
+        prev_total = fac[g - 1] * cp[g - 1][ALIGN - 1]
+        fac.append(jnp.where(tg[g] == tg[g - 1], prev_total,
+                             jnp.ones_like(prev_total)))
+    cum_parts = [cp[0]] + [cp[g] * fac[g][None, :] for g in range(1, G)]
+    return cum_parts, fac
 
 
-def _granule_sufsum_excl(a, tg):
-    """Per-granule EXCLUSIVE suffix sum of (k, PIX) up sublanes +
-    same-tile successor-granule tail terms (segmented exclusive suffix
-    sum over the whole block)."""
-    k = a.shape[0]
-    G = k // ALIGN
-    rank = _rank_vec(k)
-    x = a
-    d = 1
-    while d < ALIGN:
-        shifted = jnp.concatenate([x[d:], jnp.zeros_like(x[:d])], axis=0)
-        x = jnp.where(rank < ALIGN - d, x + shifted, x)
-        d *= 2
-    out = x - a                                  # exclusive within granule
-    if G == 1:
-        return out
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) // ALIGN
-    tail = jnp.zeros_like(a[0])                  # (PIX,)
-    tail_rows = jnp.zeros_like(a)
+def _granule_sufsum_excl_parts(a_parts, tg, tails):
+    """Segmented EXCLUSIVE suffix sum + per-granule tail terms, in
+    per-granule parts form. a_parts[g] is granule g's (ALIGN, PIX) rows;
+    tails[g] is a (PIX,) row added to every row of granule g (the
+    caller's carried / final-block term). Cross-granule same-tile totals
+    are folded into the tails as rows. Returns q_parts (list of G)."""
+    G = len(a_parts)
+    inc = [_scan_sufsum_granule(a) for a in a_parts]
+    totals = [inc[g][0] for g in range(G)]       # (PIX,) granule sums
+    cross = [None] * G
+    acc = jnp.zeros_like(totals[0])
+    cross[G - 1] = acc
     for g in range(G - 2, -1, -1):
-        total_next = x[(g + 1) * ALIGN]          # inclusive head = total
-        tail = jnp.where(tg[g + 1] == tg[g], tail + total_next,
-                         jnp.zeros_like(tail))
-        tail_rows = jnp.where(gidx <= g, tail[None, :], tail_rows)
-    return out + tail_rows
+        acc = jnp.where(tg[g + 1] == tg[g], cross[g + 1] + totals[g + 1],
+                        jnp.zeros_like(acc))
+        cross[g] = acc
+    return [inc[g] - a_parts[g] + (cross[g] + tails[g])[None, :]
+            for g in range(G)]
 
 
 _DEAD_Q0 = -1e30  # exp(power) == 0 exactly for dead lanes
@@ -433,15 +434,21 @@ def _window_mask(h0, G, ht_ref, astarts_ref, counts_ref, num_tiles):
 
 
 def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
-                            m_pad: int, with_contrib: bool):
+                            m_pad: int, with_contrib: bool,
+                            stash: bool = False):
     G = chunk // ALIGN
 
     def kernel(ht_ref, astarts_ref, counts_ref, starts_ref, feat_ref,
                *rest):
-        # rest = G aliased zero inputs, G outputs, ckpt, scratch
+        # rest = G aliased zero inputs, G outputs, ckpt,
+        #        [salpha, sexcl when stash], scratch
         outs = rest[G:2 * G]
         ckpt_ref = rest[2 * G]
-        carry, buf, sem = rest[2 * G + 1:]
+        if stash:
+            salpha_ref, sexcl_ref = rest[2 * G + 1:2 * G + 3]
+            carry, buf, sem = rest[2 * G + 3:]
+        else:
+            carry, buf, sem = rest[2 * G + 1:]
         b = pl.program_id(0)
         pb = pl.num_programs(0)
         h0 = G * b
@@ -494,22 +501,43 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             alpha_t = jnp.where((raw_t >= ALPHA_MIN) & wmask,
                                 jnp.minimum(raw_t, ALPHA_MAX), 0.0)
 
-            # ---- segmented transmittance chain over all granules ----
-            tvec = _gvec(tg, chunk)                       # (chunk, 1)
+            # ---- segmented transmittance chain, per-granule parts ----
             om = 1.0 - alpha_t
-            cum, fac_rows = _granule_cumprod(om, tg)
-            cum_excl = jnp.where(
-                _rank_vec(chunk) == 0, fac_rows,
-                jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0))
-
+            cum_parts, fac = _granule_cumprod_parts(om, tg)
             s_prev = carry[0, :]
             s0 = jnp.where(t0 == prev_t, s_prev, jnp.ones_like(s_prev))
             ckpt_ref[0, 0, :] = s0
-            srow = jnp.where(tvec == t0, s0[None, :], 1.0)  # (chunk, PIX)
-            s = srow * cum
-            incl = s >= T_EPS
-            w = alpha_t * (srow * cum_excl) * incl
-            carry[0, :] = s[chunk - 1]
+            # entry transmittance row per granule: carried s0 folds into
+            # granules still in tile t0 (scalar cond — row math only)
+            sent = [jnp.where(tg[g] == t0, fac[g] * s0, fac[g])
+                    for g in range(G)]
+            s_parts = [jnp.where(tg[g] == t0, cum_parts[g] * s0[None, :],
+                                 cum_parts[g]) for g in range(G)]
+            w_parts = []
+            incl_parts = []
+            sexcl_parts = []
+            for g in range(G):
+                s_excl_g = jnp.concatenate(
+                    [sent[g][None, :], s_parts[g][:ALIGN - 1]], axis=0)
+                gl = slice(g * ALIGN, (g + 1) * ALIGN)
+                # gate on s_excl * om (== inclusive transmittance up to
+                # association) so the backward — which reconstructs the
+                # gate from the STASHED s_excl — matches bit-exactly
+                incl_g = (s_excl_g * om[gl]) >= T_EPS
+                incl_parts.append(incl_g)
+                sexcl_parts.append(s_excl_g)
+                w_parts.append(alpha_t[gl] * s_excl_g * incl_g)
+            w = jnp.concatenate(w_parts, axis=0)          # (chunk, PIX)
+            carry[0, :] = s_parts[G - 1][ALIGN - 1]
+            if stash:
+                # residuals for the backward kernel: SIGNED alpha
+                # (negative = capped raw > ALPHA_MAX, so glive = salpha
+                # > 0 is exact) + the entry-folded exclusive
+                # transmittance — the backward then skips the exp/MXU
+                # alpha reconstruction and the whole cumprod chain
+                salpha_ref[...] = jnp.where(raw_t <= ALPHA_MAX,
+                                            alpha_t, -alpha_t)
+                sexcl_ref[...] = jnp.concatenate(sexcl_parts, axis=0)
 
             # ---- color accumulation: ONE banded MXU contraction ----
             # rgb rows land in band 3g of a (3G, chunk) matrix (zeros
@@ -543,7 +571,8 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             NC = None
             for g in range(G):
                 gl = slice(g * ALIGN, (g + 1) * ALIGN)
-                m_g = jnp.min(jnp.where(incl[gl], cum[gl], 1.0), axis=0)
+                m_g = jnp.min(jnp.where(incl_parts[g], cum_parts[g], 1.0),
+                              axis=0)
                 if g == 0:
                     M = m_g
                 else:
@@ -556,7 +585,8 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                         + ((h0 + g) * ALIGN - astarts_ref[tgc]) + 1
                     ).astype(jnp.float32)
                     nc_g = jnp.max(
-                        jnp.where(incl[gl] & (alpha_t[gl] > 0.0), rank, 0.0),
+                        jnp.where(incl_parts[g] & (alpha_t[gl] > 0.0),
+                                  rank, 0.0),
                         axis=0)
                     if g == 0:
                         base_nc = nc_in
@@ -691,18 +721,26 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
 
             # ---- forward transmittance reconstruction ----
             # identical formulas to the forward kernel (same inputs ->
-            # bit-identical incl gate)
-            tvec = _gvec(tg, chunk)
+            # bit-identical incl gate), per-granule parts
             om = 1.0 - alpha_t
-            cum, fac_rows = _granule_cumprod(om, tg)
-            cum_excl = jnp.where(
-                _rank_vec(chunk) == 0, fac_rows,
-                jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0))
+            cum_parts, fac = _granule_cumprod_parts(om, tg)
             s0 = ckpt_ref[0, 0, :]
-            srow = jnp.where(tvec == t0, s0[None, :], 1.0)
-            s_excl = srow * cum_excl
-            incl = (srow * cum) >= T_EPS
-            w = alpha_t * s_excl * incl
+            sent = [jnp.where(tg[g] == t0, fac[g] * s0, fac[g])
+                    for g in range(G)]
+            s_parts = [jnp.where(tg[g] == t0, cum_parts[g] * s0[None, :],
+                                 cum_parts[g]) for g in range(G)]
+            s_excl_parts = []
+            incl_parts = []
+            w_parts = []
+            for g in range(G):
+                s_excl_g = jnp.concatenate(
+                    [sent[g][None, :], s_parts[g][:ALIGN - 1]], axis=0)
+                incl_g = s_parts[g] >= T_EPS
+                gl = slice(g * ALIGN, (g + 1) * ALIGN)
+                s_excl_parts.append(s_excl_g)
+                incl_parts.append(incl_g)
+                w_parts.append(alpha_t[gl] * s_excl_g * incl_g)
+            w = jnp.concatenate(w_parts, axis=0)          # (chunk, PIX)
 
             # ---- dldw / color cotangents: banded one-MXU form ----
             # dldw[l, p] = sum_c rgb[c, l] g_{granule(l)}[c, p]: banding
@@ -727,30 +765,34 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                 cw = jnp.where(lane_g == g, cw_all[3 * g:3 * g + 3], cw)
 
             # ---- segmented suffix accumulation of dL/dalpha ----
-            a_mat = dldw * w
-            suf_excl = _granule_sufsum_excl(a_mat, tg)
-
             # q tail per granule: qcarry for the tile continuing past the
             # block (reverse walk: already accumulated), g_ft * final_t
             # at the tile's last block
-            gidx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) // ALIGN
             tails = []
             for g in range(G):
                 init_g = gsels[g][3, :] * gsels[g][NCONTRIB_ROW, :]
                 tails.append(jnp.where(tg[g] == t_after, qcarry[0, :],
                                        init_g))
-            qtail = jnp.broadcast_to(tails[0][None, :], a_mat.shape)
-            for g in range(1, G):
-                qtail = jnp.where(gidx >= g, tails[g][None, :], qtail)
+            a_parts = [dldw[g * ALIGN:(g + 1) * ALIGN] * w_parts[g]
+                       for g in range(G)]
+            q_parts = _granule_sufsum_excl_parts(a_parts, tg, tails)
 
-            q = suf_excl + qtail
-            dalpha = jnp.where(glive, (dldw * s_excl - q / om) * incl, 0.0)
-            dpower_t = dalpha * alpha_t                   # (chunk, PIX)
+            dp_parts = []
+            for g in range(G):
+                gl = slice(g * ALIGN, (g + 1) * ALIGN)
+                dalpha_g = jnp.where(
+                    glive[gl],
+                    (dldw[gl] * s_excl_parts[g] - q_parts[g] / om[gl])
+                    * incl_parts[g], 0.0)
+                dp_parts.append(dalpha_g * alpha_t[gl])
+            dpower_t = jnp.concatenate(dp_parts, axis=0)  # (chunk, PIX)
 
             # carry for the earlier block: total q of the tile at the
             # block's START boundary
-            mask0 = tvec == t0
-            sum0 = jnp.sum(jnp.where(mask0, a_mat, 0.0), axis=0)
+            sum0 = jnp.zeros_like(tails[0])
+            for g in range(G):
+                sum0 = sum0 + jnp.where(tg[g] == t0,
+                                        jnp.sum(a_parts[g], axis=0), 0.0)
             qcarry[0, :] = tails[0] + sum0
 
             # Per-splat q cotangents are one MXU contraction over the
