@@ -135,6 +135,15 @@ def _kill_watchdog():
 
 
 def main():
+    if "--sharded" in sys.argv:
+        # scaling harness (BASELINE.md "Scaling" row): measures the
+        # per-band critical path + sharded-step overhead on this chip,
+        # counts exact per-step communication bytes, writes
+        # results/scaling.json, prints its own JSON line
+        import runpy
+        runpy.run_path("/root/repo/tools/bench_scaling.py",
+                       run_name="__main__")
+        return
     timeout_s = int(os.environ.get("GM_BENCH_TIMEOUT", "900"))
     last_err = None
     attempts = 2

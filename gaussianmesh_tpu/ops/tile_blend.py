@@ -653,8 +653,8 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
     G = chunk // ALIGN
 
     def kernel(ht_ref, astarts_ref, counts_ref, starts_ref, feat_ref,
-               g_hbm_ref, ckpt_ref, dpart_ref, qcarry, buf, sem, gbuf,
-               gsem):
+               g_hbm_ref, ckpt_ref, salpha_ref, sexcl_ref, dpart_ref,
+               qcarry, buf, sem, gbuf, gsem):
         pb = pl.num_programs(0)
         b = pb - 1 - pl.program_id(0)                  # reverse walk
         h0 = G * b
@@ -698,19 +698,19 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             start_block(b - 1, (b - 1) % 2)
 
         def _live_math():
-            # ---- alpha evaluation (identical to forward) ----
+            # ---- alpha from the forward's stashed residuals ----
+            # salpha carries the forward's gated alpha with sign =
+            # gradient-liveness (negative = capped raw > ALPHA_MAX), so
+            # the exp/MXU alpha reconstruction disappears; featw is
+            # still streamed for the rgb rows + the q -> feature chain.
             parts = [_granule_extract(buf, slot, g, src0_of(h0 + g))
                      for g in range(G)]
             featw = jnp.concatenate(parts, axis=1)        # (FEAT, chunk)
-            raw_t = _raw_alphas_T(featw)                  # (chunk, PIX)
             wmask = _window_mask(h0, G, ht_ref, astarts_ref, counts_ref,
                                  num_tiles)
-            fmask = (raw_t >= ALPHA_MIN) & wmask          # forward-live
-            # gradient-live: capped splats are masked (consistent with
-            # forward's capped min) but their CAPPED alpha still feeds
-            # the transmittance reconstruction below
-            glive = fmask & (raw_t <= ALPHA_MAX)
-            alpha_t = jnp.where(fmask, jnp.minimum(raw_t, ALPHA_MAX), 0.0)
+            salpha = salpha_ref[...]                      # (chunk, PIX)
+            alpha_t = jnp.abs(salpha)
+            glive = salpha > 0.0
 
             # per-granule gradient rows: granules sharing a tile read the
             # first fetch (later ones were never fetched)
@@ -719,24 +719,18 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                 gsels.append(jnp.where(tg[g] == tg[g - 1], gsels[-1],
                                        gbuf[slot, g]))
 
-            # ---- forward transmittance reconstruction ----
-            # identical formulas to the forward kernel (same inputs ->
-            # bit-identical incl gate), per-granule parts
+            # ---- forward transmittance from the stashed s_excl ----
+            # incl = (s_excl * om) >= eps is the EXACT expression the
+            # forward gated on (same operands, same op -> bit-identical)
             om = 1.0 - alpha_t
-            cum_parts, fac = _granule_cumprod_parts(om, tg)
-            s0 = ckpt_ref[0, 0, :]
-            sent = [jnp.where(tg[g] == t0, fac[g] * s0, fac[g])
-                    for g in range(G)]
-            s_parts = [jnp.where(tg[g] == t0, cum_parts[g] * s0[None, :],
-                                 cum_parts[g]) for g in range(G)]
+            sexcl = sexcl_ref[...]                        # (chunk, PIX)
             s_excl_parts = []
             incl_parts = []
             w_parts = []
             for g in range(G):
-                s_excl_g = jnp.concatenate(
-                    [sent[g][None, :], s_parts[g][:ALIGN - 1]], axis=0)
-                incl_g = s_parts[g] >= T_EPS
                 gl = slice(g * ALIGN, (g + 1) * ALIGN)
+                s_excl_g = sexcl[gl]
+                incl_g = (s_excl_g * om[gl]) >= T_EPS
                 s_excl_parts.append(s_excl_g)
                 incl_parts.append(incl_g)
                 w_parts.append(alpha_t[gl] * s_excl_g * incl_g)
@@ -948,14 +942,14 @@ def _qtabT(feat_sorted, sorted_tile, live, grid_x):
 
 def _sorted_fwd_impl(qtabT, block_tile, aligned_starts, starts,
                      counts, grid_x, num_tiles, p_cap, chunk,
-                     with_contrib=False):
+                     with_contrib=False, stash=False):
     f_rows, m_pad = qtabT.shape
     assert f_rows == FEAT and m_pad % chunk == 0, (f_rows, m_pad, chunk)
     assert chunk % ALIGN == 0 and chunk >= 2 * ALIGN, chunk
     G = chunk // ALIGN
     pb = p_cap // chunk
     kernel = _make_sorted_fwd_kernel(grid_x, chunk, num_tiles, m_pad,
-                                     with_contrib)
+                                     with_contrib, stash)
 
     def out_spec(g):
         # sentinel granules (ht == num_tiles) land on a dedicated dump
@@ -965,12 +959,27 @@ def _sorted_fwd_impl(qtabT, block_tile, aligned_starts, starts,
             (1, 8, PIX),
             lambda b, ht, *s, g=g: (ht[G * b + g], 0, 0))
 
+    out_specs = tuple(out_spec(g) for g in range(G)) + (
+        pl.BlockSpec((1, 2, PIX), lambda b, *s: (b, 0, 0)),)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((num_tiles + 1, 8, PIX), jnp.float32)
+        for _ in range(G)) + (
+        jax.ShapeDtypeStruct((pb, 2, PIX), jnp.float32),)
+    if stash:
+        # per-block residual streams for the backward kernel (plain
+        # block-indexed OUTPUT maps — auto-pipelined, overlap the VPU)
+        out_specs = out_specs + (
+            pl.BlockSpec((chunk, PIX), lambda b, *s: (b, 0)),
+            pl.BlockSpec((chunk, PIX), lambda b, *s: (b, 0)))
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((p_cap, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((p_cap, PIX), jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(pb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + G),
-        out_specs=tuple(out_spec(g) for g in range(G)) + (
-            pl.BlockSpec((1, 2, PIX), lambda b, *s: (b, 0, 0)),),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((8, PIX), jnp.float32),
             pltpu.VMEM((2, G, FEAT, _GWIN), jnp.float32),
@@ -978,40 +987,44 @@ def _sorted_fwd_impl(qtabT, block_tile, aligned_starts, starts,
         ],
     )
     zeros_out = jnp.zeros((num_tiles + 1, 8, PIX), jnp.float32)
-    out_sd = jax.ShapeDtypeStruct((num_tiles + 1, 8, PIX), jnp.float32)
     results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=tuple(out_sd for _ in range(G)) + (
-            jax.ShapeDtypeStruct((pb, 2, PIX), jnp.float32),),
+        out_shape=out_shapes,
         input_output_aliases={5 + g: g for g in range(G)},
     )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
       counts.astype(jnp.int32), starts.astype(jnp.int32), qtabT,
       *([zeros_out] * G))
-    ckpt = results[-1]
+    if stash:
+        salpha, sexcl = results[-2], results[-1]
+        ckpt = results[G]
+    else:
+        salpha = sexcl = None
+        ckpt = results[-1]
     out8 = sum(o[:num_tiles] for o in results[:G])
 
     has = counts > 0
     color = jnp.where(has[:, None, None], out8[:, 0:3], 0.0)
     final_t = jnp.where(has[:, None], out8[:, 3], 1.0)
     n_contrib = jnp.where(has[:, None], out8[:, NCONTRIB_ROW], 0.0)
-    return (color, final_t, n_contrib), ckpt
+    return (color, final_t, n_contrib), (ckpt, salpha, sexcl)
 
 
 def _sorted_fwd_rule(feat_sorted, sorted_tile, live, block_tile,
                      aligned_starts, starts, counts, sorted_shift,
                      grid_x, num_tiles, p_cap, chunk, with_contrib=False):
     qtabT = _qtabT(feat_sorted, sorted_tile, live, grid_x)
-    out, ckpt = _sorted_fwd_impl(qtabT, block_tile, aligned_starts,
-                                 starts, counts, grid_x, num_tiles, p_cap,
-                                 chunk, with_contrib)
+    out, (ckpt, salpha, sexcl) = _sorted_fwd_impl(
+        qtabT, block_tile, aligned_starts, starts, counts, grid_x,
+        num_tiles, p_cap, chunk, with_contrib, stash=True)
     _, final_t, _ = out
     return out, (qtabT, block_tile, aligned_starts, starts, counts,
-                 sorted_shift, ckpt, final_t)
+                 sorted_shift, ckpt, salpha, sexcl, final_t)
 
 
 def _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts, counts,
-                    ckpt, final_t, cts, grid_x, num_tiles, p_cap, chunk):
+                    ckpt, salpha, sexcl, final_t, cts, grid_x, num_tiles,
+                    p_cap, chunk):
     """Invoke the backward blend kernel; returns aligned-domain gradient
     rows d_pad (p_cap + 1, FEAT) in pack_features layout — row p_cap is
     an all-zero sink for dead destinations."""
@@ -1027,6 +1040,9 @@ def _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts, counts,
     def rev(b, *s):
         return (0, pl.num_programs(0) - 1 - b)
 
+    def rev2(b, *s):
+        return (pl.num_programs(0) - 1 - b, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(pb,),
@@ -1034,6 +1050,8 @@ def _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts, counts,
             pl.BlockSpec(memory_space=pl.ANY),   # qtab (streamed by DMA)
             pl.BlockSpec(memory_space=pl.ANY),   # g8 (streamed by DMA)
             pl.BlockSpec((1, 2, PIX), lambda b, *s: (pl.num_programs(0) - 1 - b, 0, 0)),
+            pl.BlockSpec((chunk, PIX), rev2),    # stashed signed alpha
+            pl.BlockSpec((chunk, PIX), rev2),    # stashed s_excl
         ],
         out_specs=pl.BlockSpec((FEAT, chunk), rev),
         scratch_shapes=[
@@ -1049,7 +1067,8 @@ def _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts, counts,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((FEAT, p_cap), jnp.float32),
     )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
-      counts.astype(jnp.int32), starts.astype(jnp.int32), qtabT, g8, ckpt)
+      counts.astype(jnp.int32), starts.astype(jnp.int32), qtabT, g8, ckpt,
+      salpha, sexcl)
 
     # materialize the transpose before any gather from it (a gather of
     # rows from a lazily-transposed array would lower as a lane gather)
@@ -1059,11 +1078,11 @@ def _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts, counts,
 
 def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
     (qtabT, block_tile, aligned_starts, starts, counts, sorted_shift,
-     ckpt, final_t) = res
+     ckpt, salpha, sexcl, final_t) = res
     f_rows, m_pad = qtabT.shape
     d_pad = _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts,
-                            counts, ckpt, final_t, cts, grid_x, num_tiles,
-                            p_cap, chunk)
+                            counts, ckpt, salpha, sexcl, final_t, cts,
+                            grid_x, num_tiles, p_cap, chunk)
     # aligned -> sorted: deterministic inverse gather (each live sorted
     # row has a unique aligned position); padding rows get zero. The
     # kernel already emitted pack_features-layout rows, so this IS
@@ -1117,22 +1136,23 @@ def _fused_fwd_rule(feat, gid_pad, counts_full, sorted_tile, live,
                     with_contrib):
     feat_sorted = feat[gid_pad]
     qtabT = _qtabT(feat_sorted, sorted_tile, live, grid_x)
-    out, ckpt = _sorted_fwd_impl(qtabT, block_tile, aligned_starts,
-                                 starts, counts, grid_x, num_tiles, p_cap,
-                                 chunk, with_contrib)
+    out, (ckpt, salpha, sexcl) = _sorted_fwd_impl(
+        qtabT, block_tile, aligned_starts, starts, counts, grid_x,
+        num_tiles, p_cap, chunk, with_contrib, stash=True)
     _, final_t, _ = out
     res = (qtabT, gid_pad, counts_full, block_tile, aligned_starts,
-           starts, counts, sorted_shift, ckpt, final_t, feat.shape[0])
+           starts, counts, sorted_shift, ckpt, salpha, sexcl, final_t,
+           feat.shape[0])
     return out, res
 
 
 def _fused_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
     from gaussianmesh_tpu.ops.segsum import _reduce_grouped
     (qtabT, gid_pad, counts_full, block_tile, aligned_starts, starts,
-     counts, sorted_shift, ckpt, final_t, n_rows) = res
+     counts, sorted_shift, ckpt, salpha, sexcl, final_t, n_rows) = res
     d_pad = _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts,
-                            counts, ckpt, final_t, cts, grid_x, num_tiles,
-                            p_cap, chunk)
+                            counts, ckpt, salpha, sexcl, final_t, cts,
+                            grid_x, num_tiles, p_cap, chunk)
     # gid-grouped aligned destinations: dead / padding slots (shift
     # sentinel or past m) land on the zero sink row p_cap
     m = sorted_shift.shape[0]
