@@ -256,6 +256,121 @@ def _granule_extract(buf, slot, g, src0):
     return shifted[:, :ALIGN]
 
 
+# Fused-block fast path: in the UNCLAMPED case consecutive granules'
+# sorted starts increase by 64 - pad (pad <= 63) per step, so the whole
+# block's G windows live inside ONE 128-aligned _FWIN-wide span and one
+# DMA replaces G — the kernels are DMA-issue/latency-bound per granule
+# (measured: removing ~30% of VPU ops moved ~1%, chunk doubling ~2%),
+# so fewer issues is the lever. Clamping (max_per_tile / capacity)
+# makes inter-granule gaps unbounded; a per-block scalar containment
+# check falls back to the per-granule streams (start, wait, and extract
+# all guard on the SAME deterministic scalar).
+_FWIN = 8 * ALIGN
+
+
+def _fused_base(bb, G, ht_ref, astarts_ref, starts_ref, m_pad, num_tiles):
+    s0 = _granule_src0(G * bb, ht_ref, astarts_ref, starts_ref,
+                       m_pad, num_tiles)
+    fb = (s0 // (2 * ALIGN)) * (2 * ALIGN)
+    return jnp.minimum(fb, m_pad - _FWIN)
+
+
+def _fused_contig(bb, G, ht_ref, astarts_ref, starts_ref, m_pad,
+                  num_tiles):
+    """True iff every granule window of block bb fits the fused span."""
+    fb = _fused_base(bb, G, ht_ref, astarts_ref, starts_ref, m_pad,
+                     num_tiles)
+    ok = fb >= 0
+    for g in range(1, G):
+        sg = _granule_src0(G * bb + g, ht_ref, astarts_ref, starts_ref,
+                           m_pad, num_tiles)
+        ok = ok & (sg >= fb) & (sg <= fb + (_FWIN - ALIGN))
+    return ok
+
+
+def _fused_dma(feat_ref, fbuf, fsem, slot, fb):
+    return pltpu.make_async_copy(
+        feat_ref.at[:, pl.ds(pl.multiple_of(fb, 2 * ALIGN), _FWIN)],
+        fbuf.at[slot], fsem.at[slot])
+
+
+def _fused_extract(fbuf, slot, fb, src0):
+    off = src0 - fb
+    shifted = pltpu.roll(fbuf[slot], _FWIN - off, axis=1)
+    return shifted[:, :ALIGN]
+
+
+def _feat_stream(G, m_pad, num_tiles, ht_ref, astarts_ref, starts_ref,
+                 feat_ref, buf, sem, fbuf, fsem):
+    """(issue, wait, extract) for the per-block feature streams, shared
+    by both kernels. Fast path: ONE fused _FWIN fetch per block; scalar
+    fallback to per-granule fetches when clamping broke contiguity.
+    Start, wait, and extract all branch on the SAME deterministic
+    scalar."""
+    use_fused = m_pad >= _FWIN
+
+    def src0_of(h):
+        return _granule_src0(h, ht_ref, astarts_ref, starts_ref,
+                             m_pad, num_tiles)
+
+    def fbase(bb):
+        return _fused_base(bb, G, ht_ref, astarts_ref, starts_ref,
+                           m_pad, num_tiles)
+
+    def fcontig(bb):
+        return _fused_contig(bb, G, ht_ref, astarts_ref, starts_ref,
+                             m_pad, num_tiles)
+
+    def issue(bb, slot):
+        if use_fused:
+            c = fcontig(bb)
+
+            @pl.when(c)
+            def _():
+                _fused_dma(feat_ref, fbuf, fsem, slot, fbase(bb)).start()
+
+            @pl.when(~c)
+            def _():
+                for g in range(G):
+                    _granule_dma(feat_ref, buf, sem, slot, g,
+                                 src0_of(G * bb + g)).start()
+        else:
+            for g in range(G):
+                _granule_dma(feat_ref, buf, sem, slot, g,
+                             src0_of(G * bb + g)).start()
+
+    def wait(bb, slot):
+        if use_fused:
+            c = fcontig(bb)
+
+            @pl.when(c)
+            def _():
+                _fused_dma(feat_ref, fbuf, fsem, slot, fbase(bb)).wait()
+
+            @pl.when(~c)
+            def _():
+                for g in range(G):
+                    _granule_dma(feat_ref, buf, sem, slot, g,
+                                 src0_of(G * bb + g)).wait()
+        else:
+            for g in range(G):
+                _granule_dma(feat_ref, buf, sem, slot, g,
+                             src0_of(G * bb + g)).wait()
+
+    def extract(bb, slot):
+        srcs = [src0_of(G * bb + g) for g in range(G)]
+        if not use_fused:
+            return [_granule_extract(buf, slot, g, srcs[g])
+                    for g in range(G)]
+        c = fcontig(bb)
+        fb = fbase(bb)
+        return [jnp.where(c, _fused_extract(fbuf, slot, fb, srcs[g]),
+                          _granule_extract(buf, slot, g, srcs[g]))
+                for g in range(G)]
+
+    return issue, wait, extract
+
+
 def _lane_granule(chunk):
     """(1, chunk) granule index per lane."""
     return jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) // ALIGN
@@ -446,9 +561,9 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
         ckpt_ref = rest[2 * G]
         if stash:
             salpha_ref, sexcl_ref = rest[2 * G + 1:2 * G + 3]
-            carry, buf, sem = rest[2 * G + 3:]
+            carry, buf, sem, fbuf, fsem = rest[2 * G + 3:]
         else:
-            carry, buf, sem = rest[2 * G + 1:]
+            carry, buf, sem, fbuf, fsem = rest[2 * G + 1:]
         b = pl.program_id(0)
         pb = pl.num_programs(0)
         h0 = G * b
@@ -456,25 +571,22 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
         t0 = tg[0]
         t_after = ht_ref[h0 + G]
         prev_t = jnp.where(b > 0, ht_ref[jnp.maximum(h0 - 1, 0)], -1)
+        issue_feats, wait_feats, extract_feats = _feat_stream(
+            G, m_pad, num_tiles, ht_ref, astarts_ref, starts_ref,
+            feat_ref, buf, sem, fbuf, fsem)
 
-        def src0_of(h):
-            return _granule_src0(h, ht_ref, astarts_ref, starts_ref,
-                                 m_pad, num_tiles)
-
-        # double-buffered granule streams; sentinel blocks skip their
-        # fetches (the starts and the waits are guarded by the SAME
-        # scalar condition — block_tile is nondecreasing, so a sentinel
-        # first granule implies sentinel everything after)
+        # double-buffered feature streams (ONE fused fetch per block on
+        # the contiguity fast path); sentinel blocks skip their fetches
+        # (the starts and the waits are guarded by the SAME scalar
+        # condition — block_tile is nondecreasing, so a sentinel first
+        # granule implies sentinel everything after)
         @pl.when((b == 0) & (t0 < num_tiles))
         def _prologue():
-            for g in range(G):
-                _granule_dma(feat_ref, buf, sem, 0, g, src0_of(g)).start()
+            issue_feats(0, 0)
 
         @pl.when((b + 1 < pb) & (t_after < num_tiles))
         def _prefetch():
-            for g in range(G):
-                _granule_dma(feat_ref, buf, sem, (b + 1) % 2, g,
-                             src0_of(h0 + G + g)).start()
+            issue_feats(b + 1, (b + 1) % 2)
 
         slot = b % 2
 
@@ -490,8 +602,7 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                     outs[g][...] = jnp.zeros_like(outs[g])
 
             # ---- all granules in one MXU contraction ----
-            parts = [_granule_extract(buf, slot, g, src0_of(h0 + g))
-                     for g in range(G)]
+            parts = extract_feats(b, slot)
             featw = jnp.concatenate(parts, axis=1)        # (FEAT, chunk)
 
             # TRANSPOSED domain from here: pairs on sublanes, pixels on lanes
@@ -610,9 +721,7 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
         # capacity blocks past the live range: no fetch, no math, no write
         @pl.when(t0 < num_tiles)
         def _live_block():
-            for g in range(G):
-                _granule_dma(feat_ref, buf, sem, slot, g,
-                             src0_of(h0 + g)).wait()
+            wait_feats(b, slot)
 
             # ---- saturation skip (the reference's per-pixel early
             # termination, forward.cu:343-351, at block granularity) ----
@@ -654,7 +763,7 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
 
     def kernel(ht_ref, astarts_ref, counts_ref, starts_ref, feat_ref,
                g_hbm_ref, ckpt_ref, salpha_ref, sexcl_ref, dpart_ref,
-               qcarry, buf, sem, gbuf, gsem):
+               qcarry, buf, sem, gbuf, gsem, fbuf, fsem):
         pb = pl.num_programs(0)
         b = pb - 1 - pl.program_id(0)                  # reverse walk
         h0 = G * b
@@ -662,9 +771,9 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
         t0 = tg[0]
         t_after = ht_ref[h0 + G]
 
-        def src0_of(h):
-            return _granule_src0(h, ht_ref, astarts_ref, starts_ref,
-                                 m_pad, num_tiles)
+        issue_feats, wait_feats, extract_feats = _feat_stream(
+            G, m_pad, num_tiles, ht_ref, astarts_ref, starts_ref,
+            feat_ref, buf, sem, fbuf, fsem)
 
         def g_dma(slot, g, h):
             tc = jnp.clip(ht_ref[h], 0, num_tiles - 1)
@@ -672,13 +781,11 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                 g_hbm_ref.at[tc], gbuf.at[slot, g], gsem.at[slot, g])
 
         def start_block(bb, slot):
-            """Issue block bb's streams: the per-granule q-table windows
-            + the owning tiles' pixel-gradient rows (deduped per
+            """Issue block bb's streams: the feature windows (fused fast
+            path) + the owning tiles' pixel-gradient rows (deduped per
             distinct tile)."""
             hh = G * bb
-            for g in range(G):
-                _granule_dma(feat_ref, buf, sem, slot, g,
-                             src0_of(hh + g)).start()
+            issue_feats(bb, slot)
             g_dma(slot, 0, hh).start()
             for g in range(1, G):
                 @pl.when(ht_ref[hh + g] != ht_ref[hh + g - 1])
@@ -703,8 +810,7 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             # gradient-liveness (negative = capped raw > ALPHA_MAX), so
             # the exp/MXU alpha reconstruction disappears; featw is
             # still streamed for the rgb rows + the q -> feature chain.
-            parts = [_granule_extract(buf, slot, g, src0_of(h0 + g))
-                     for g in range(G)]
+            parts = extract_feats(b, slot)
             featw = jnp.concatenate(parts, axis=1)        # (FEAT, chunk)
             wmask = _window_mask(h0, G, ht_ref, astarts_ref, counts_ref,
                                  num_tiles)
@@ -823,9 +929,7 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
 
         @pl.when(t0 < num_tiles)
         def _live_block():
-            for g in range(G):
-                _granule_dma(feat_ref, buf, sem, slot, g,
-                             src0_of(h0 + g)).wait()
+            wait_feats(b, slot)
             g_dma(slot, 0, h0).wait()
             for g in range(1, G):
                 @pl.when(tg[g] != tg[g - 1])
@@ -984,6 +1088,8 @@ def _sorted_fwd_impl(qtabT, block_tile, aligned_starts, starts,
             pltpu.VMEM((8, PIX), jnp.float32),
             pltpu.VMEM((2, G, FEAT, _GWIN), jnp.float32),
             pltpu.SemaphoreType.DMA((2, G)),
+            pltpu.VMEM((2, FEAT, _FWIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     zeros_out = jnp.zeros((num_tiles + 1, 8, PIX), jnp.float32)
@@ -1060,6 +1166,8 @@ def _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts, counts,
             pltpu.SemaphoreType.DMA((2, chunk // ALIGN)),
             pltpu.VMEM((2, chunk // ALIGN, 8, PIX), jnp.float32),
             pltpu.SemaphoreType.DMA((2, chunk // ALIGN)),
+            pltpu.VMEM((2, FEAT, _FWIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dpartT = pl.pallas_call(
