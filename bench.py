@@ -141,7 +141,8 @@ def main():
         # counts exact per-step communication bytes, writes
         # results/scaling.json, prints its own JSON line
         import runpy
-        runpy.run_path("/root/repo/tools/bench_scaling.py",
+        runpy.run_path(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools", "bench_scaling.py"),
                        run_name="__main__")
         return
     timeout_s = int(os.environ.get("GM_BENCH_TIMEOUT", "900"))

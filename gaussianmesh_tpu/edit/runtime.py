@@ -281,7 +281,18 @@ def make_playback_fn(obj: ObjectDeformer, cam_arrays: CameraArrays,
     return _playback_fns(obj, cam_arrays, cfg, bg_color)[0]
 
 
+_PLAYBACK_CACHE_MAX = 8  # distinct (camera, cfg, bg) closures kept per object
+
+
 def _playback_fns(obj, cam_arrays, cfg, bg_color):
+    """Cached jitted frame closures.
+
+    The closures capture obj.features / obj.opacity at first trace:
+    replacing those attributes in place serves stale renders until
+    `obj._playback_cache.clear()`. The cache is bounded (oldest entry
+    evicted past _PLAYBACK_CACHE_MAX) so an interactive orbit that mints
+    a fresh CameraArrays per viewpoint cannot grow retained compiled
+    executables without bound."""
     bg_key = (None if bg_color is None
               else tuple(float(x) for x in jnp.asarray(bg_color)))
     key = (id(cam_arrays), cfg, bg_key)
@@ -293,6 +304,8 @@ def _playback_fns(obj, cam_arrays, cfg, bg_color):
     # the ref is held) fail closed
     if hit is not None and hit[0] is cam_arrays:
         return hit[1], hit[2]
+    while len(cache) >= _PLAYBACK_CACHE_MAX:  # FIFO eviction (dict order)
+        cache.pop(next(iter(cache)))
     bg = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
 
     @jax.jit

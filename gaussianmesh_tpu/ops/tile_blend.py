@@ -272,7 +272,10 @@ def _fused_base(bb, G, ht_ref, astarts_ref, starts_ref, m_pad, num_tiles):
     s0 = _granule_src0(G * bb, ht_ref, astarts_ref, starts_ref,
                        m_pad, num_tiles)
     fb = (s0 // (2 * ALIGN)) * (2 * ALIGN)
-    return jnp.minimum(fb, m_pad - _FWIN)
+    # clamp stays 2*ALIGN-aligned so the DMA's multiple_of promise holds
+    # for ANY m_pad (m_pad - _FWIN alone is only chunk-aligned; an odd
+    # multiple of ALIGN there would silently corrupt the fused window)
+    return jnp.minimum(fb, ((m_pad - _FWIN) // (2 * ALIGN)) * (2 * ALIGN))
 
 
 def _fused_contig(bb, G, ht_ref, astarts_ref, starts_ref, m_pad,
@@ -556,12 +559,12 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
     def kernel(ht_ref, astarts_ref, counts_ref, starts_ref, feat_ref,
                *rest):
         # rest = G aliased zero inputs, G outputs, ckpt,
-        #        [salpha, sexcl when stash], scratch
+        #        [sw when stash], scratch
         outs = rest[G:2 * G]
         ckpt_ref = rest[2 * G]
         if stash:
-            salpha_ref, sexcl_ref = rest[2 * G + 1:2 * G + 3]
-            carry, buf, sem, fbuf, fsem = rest[2 * G + 3:]
+            sw_ref = rest[2 * G + 1]
+            carry, buf, sem, fbuf, fsem = rest[2 * G + 2:]
         else:
             carry, buf, sem, fbuf, fsem = rest[2 * G + 1:]
         b = pl.program_id(0)
@@ -626,29 +629,31 @@ def _make_sorted_fwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                                  cum_parts[g]) for g in range(G)]
             w_parts = []
             incl_parts = []
-            sexcl_parts = []
             for g in range(G):
                 s_excl_g = jnp.concatenate(
                     [sent[g][None, :], s_parts[g][:ALIGN - 1]], axis=0)
                 gl = slice(g * ALIGN, (g + 1) * ALIGN)
                 # gate on s_excl * om (== inclusive transmittance up to
-                # association) so the backward — which reconstructs the
-                # gate from the STASHED s_excl — matches bit-exactly
+                # association); w == 0 exactly for excluded rows, so the
+                # backward's STASHED-w gate (w > 0) selects exactly the
+                # rows with incl & alpha > 0 — the only ones whose
+                # gradient terms are nonzero
                 incl_g = (s_excl_g * om[gl]) >= T_EPS
                 incl_parts.append(incl_g)
-                sexcl_parts.append(s_excl_g)
                 w_parts.append(alpha_t[gl] * s_excl_g * incl_g)
             w = jnp.concatenate(w_parts, axis=0)          # (chunk, PIX)
             carry[0, :] = s_parts[G - 1][ALIGN - 1]
             if stash:
-                # residuals for the backward kernel: SIGNED alpha
-                # (negative = capped raw > ALPHA_MAX, so glive = salpha
-                # > 0 is exact) + the entry-folded exclusive
-                # transmittance — the backward then skips the exp/MXU
-                # alpha reconstruction and the whole cumprod chain
-                salpha_ref[...] = jnp.where(raw_t <= ALPHA_MAX,
-                                            alpha_t, -alpha_t)
-                sexcl_ref[...] = jnp.concatenate(sexcl_parts, axis=0)
+                # THE residual for the backward kernel: the blend weight
+                # w = alpha * s_excl * incl. The backward recomputes raw
+                # alpha from the q-table window it streams anyway (one
+                # MXU contraction + exp, bit-identical to the forward's)
+                # and recovers every other forward quantity from w —
+                # dL/dpower = w > 0 ? dldw * w - q * alpha / (1 - alpha)
+                # : 0 — so the transmittance-chain residual (a second
+                # (p_cap, PIX) f32 stream in round 3) is gone: half the
+                # residual HBM and traffic, same gradients (exact).
+                sw_ref[...] = w
 
             # ---- color accumulation: ONE banded MXU contraction ----
             # rgb rows land in band 3g of a (3G, chunk) matrix (zeros
@@ -762,7 +767,7 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
     G = chunk // ALIGN
 
     def kernel(ht_ref, astarts_ref, counts_ref, starts_ref, feat_ref,
-               g_hbm_ref, ckpt_ref, salpha_ref, sexcl_ref, dpart_ref,
+               g_hbm_ref, ckpt_ref, sw_ref, dpart_ref,
                qcarry, buf, sem, gbuf, gsem, fbuf, fsem):
         pb = pl.num_programs(0)
         b = pb - 1 - pl.program_id(0)                  # reverse walk
@@ -805,18 +810,19 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             start_block(b - 1, (b - 1) % 2)
 
         def _live_math():
-            # ---- alpha from the forward's stashed residuals ----
-            # salpha carries the forward's gated alpha with sign =
-            # gradient-liveness (negative = capped raw > ALPHA_MAX), so
-            # the exp/MXU alpha reconstruction disappears; featw is
-            # still streamed for the rgb rows + the q -> feature chain.
+            # ---- alpha recomputed from the streamed q-table ----
+            # The same MXU contraction + exp the forward ran, on the same
+            # window (bit-identical on TPU); featw is streamed anyway for
+            # the rgb rows + the q -> feature chain, so the only extra
+            # cost is the exp — cheaper than streaming a second
+            # (p_cap, PIX) residual from HBM.
             parts = extract_feats(b, slot)
             featw = jnp.concatenate(parts, axis=1)        # (FEAT, chunk)
             wmask = _window_mask(h0, G, ht_ref, astarts_ref, counts_ref,
                                  num_tiles)
-            salpha = salpha_ref[...]                      # (chunk, PIX)
-            alpha_t = jnp.abs(salpha)
-            glive = salpha > 0.0
+            raw_t = _raw_alphas_T(featw)                  # (chunk, PIX)
+            alpha_t = jnp.where((raw_t >= ALPHA_MIN) & wmask,
+                                jnp.minimum(raw_t, ALPHA_MAX), 0.0)
 
             # per-granule gradient rows: granules sharing a tile read the
             # first fetch (later ones were never fetched)
@@ -825,22 +831,15 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                 gsels.append(jnp.where(tg[g] == tg[g - 1], gsels[-1],
                                        gbuf[slot, g]))
 
-            # ---- forward transmittance from the stashed s_excl ----
-            # incl = (s_excl * om) >= eps is the EXACT expression the
-            # forward gated on (same operands, same op -> bit-identical)
+            # ---- forward blend weights from the stash ----
+            # w = alpha * s_excl * incl exactly as the forward computed
+            # it; w > 0 is exactly incl & (alpha > 0), the support of
+            # every nonzero gradient term, and glive additionally drops
+            # capped rows (d alpha / d power == 0 there).
             om = 1.0 - alpha_t
-            sexcl = sexcl_ref[...]                        # (chunk, PIX)
-            s_excl_parts = []
-            incl_parts = []
-            w_parts = []
-            for g in range(G):
-                gl = slice(g * ALIGN, (g + 1) * ALIGN)
-                s_excl_g = sexcl[gl]
-                incl_g = (s_excl_g * om[gl]) >= T_EPS
-                s_excl_parts.append(s_excl_g)
-                incl_parts.append(incl_g)
-                w_parts.append(alpha_t[gl] * s_excl_g * incl_g)
-            w = jnp.concatenate(w_parts, axis=0)          # (chunk, PIX)
+            w = sw_ref[...]                               # (chunk, PIX)
+            glive = (w > 0.0) & (raw_t <= ALPHA_MAX)
+            w_parts = [w[g * ALIGN:(g + 1) * ALIGN] for g in range(G)]
 
             # ---- dldw / color cotangents: banded one-MXU form ----
             # dldw[l, p] = sum_c rgb[c, l] g_{granule(l)}[c, p]: banding
@@ -877,14 +876,18 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
                        for g in range(G)]
             q_parts = _granule_sufsum_excl_parts(a_parts, tg, tails)
 
+            # dL/dpower = dalpha * alpha with dalpha = (dldw * s_excl -
+            # q / om) * incl: multiplying through by alpha turns
+            # dldw * s_excl * incl * alpha into dldw * w (the stashed
+            # weight), and the q term is gated by glive (w > 0 implies
+            # incl, so no separate incl factor survives).
             dp_parts = []
             for g in range(G):
                 gl = slice(g * ALIGN, (g + 1) * ALIGN)
-                dalpha_g = jnp.where(
+                dp_parts.append(jnp.where(
                     glive[gl],
-                    (dldw[gl] * s_excl_parts[g] - q_parts[g] / om[gl])
-                    * incl_parts[g], 0.0)
-                dp_parts.append(dalpha_g * alpha_t[gl])
+                    dldw[gl] * w_parts[g]
+                    - q_parts[g] * (alpha_t[gl] / om[gl]), 0.0))
             dpower_t = jnp.concatenate(dp_parts, axis=0)  # (chunk, PIX)
 
             # carry for the earlier block: total q of the tile at the
@@ -1070,14 +1073,12 @@ def _sorted_fwd_impl(qtabT, block_tile, aligned_starts, starts,
         for _ in range(G)) + (
         jax.ShapeDtypeStruct((pb, 2, PIX), jnp.float32),)
     if stash:
-        # per-block residual streams for the backward kernel (plain
-        # block-indexed OUTPUT maps — auto-pipelined, overlap the VPU)
+        # per-block residual stream for the backward kernel (plain
+        # block-indexed OUTPUT map — auto-pipelined, overlaps the VPU)
         out_specs = out_specs + (
-            pl.BlockSpec((chunk, PIX), lambda b, *s: (b, 0)),
-            pl.BlockSpec((chunk, PIX), lambda b, *s: (b, 0)))
+            pl.BlockSpec((chunk, PIX), lambda b, *s: (b, 0)),)
         out_shapes = out_shapes + (
-            jax.ShapeDtypeStruct((p_cap, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((p_cap, PIX), jnp.float32))
+            jax.ShapeDtypeStruct((p_cap, PIX), jnp.float32),)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -1102,10 +1103,10 @@ def _sorted_fwd_impl(qtabT, block_tile, aligned_starts, starts,
       counts.astype(jnp.int32), starts.astype(jnp.int32), qtabT,
       *([zeros_out] * G))
     if stash:
-        salpha, sexcl = results[-2], results[-1]
+        sw = results[-1]
         ckpt = results[G]
     else:
-        salpha = sexcl = None
+        sw = None
         ckpt = results[-1]
     out8 = sum(o[:num_tiles] for o in results[:G])
 
@@ -1113,23 +1114,23 @@ def _sorted_fwd_impl(qtabT, block_tile, aligned_starts, starts,
     color = jnp.where(has[:, None, None], out8[:, 0:3], 0.0)
     final_t = jnp.where(has[:, None], out8[:, 3], 1.0)
     n_contrib = jnp.where(has[:, None], out8[:, NCONTRIB_ROW], 0.0)
-    return (color, final_t, n_contrib), (ckpt, salpha, sexcl)
+    return (color, final_t, n_contrib), (ckpt, sw)
 
 
 def _sorted_fwd_rule(feat_sorted, sorted_tile, live, block_tile,
                      aligned_starts, starts, counts, sorted_shift,
                      grid_x, num_tiles, p_cap, chunk, with_contrib=False):
     qtabT = _qtabT(feat_sorted, sorted_tile, live, grid_x)
-    out, (ckpt, salpha, sexcl) = _sorted_fwd_impl(
+    out, (ckpt, sw) = _sorted_fwd_impl(
         qtabT, block_tile, aligned_starts, starts, counts, grid_x,
         num_tiles, p_cap, chunk, with_contrib, stash=True)
     _, final_t, _ = out
     return out, (qtabT, block_tile, aligned_starts, starts, counts,
-                 sorted_shift, ckpt, salpha, sexcl, final_t)
+                 sorted_shift, ckpt, sw, final_t)
 
 
 def _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts, counts,
-                    ckpt, salpha, sexcl, final_t, cts, grid_x, num_tiles,
+                    ckpt, sw, final_t, cts, grid_x, num_tiles,
                     p_cap, chunk):
     """Invoke the backward blend kernel; returns aligned-domain gradient
     rows d_pad (p_cap + 1, FEAT) in pack_features layout — row p_cap is
@@ -1156,8 +1157,7 @@ def _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts, counts,
             pl.BlockSpec(memory_space=pl.ANY),   # qtab (streamed by DMA)
             pl.BlockSpec(memory_space=pl.ANY),   # g8 (streamed by DMA)
             pl.BlockSpec((1, 2, PIX), lambda b, *s: (pl.num_programs(0) - 1 - b, 0, 0)),
-            pl.BlockSpec((chunk, PIX), rev2),    # stashed signed alpha
-            pl.BlockSpec((chunk, PIX), rev2),    # stashed s_excl
+            pl.BlockSpec((chunk, PIX), rev2),    # stashed blend weight w
         ],
         out_specs=pl.BlockSpec((FEAT, chunk), rev),
         scratch_shapes=[
@@ -1176,7 +1176,7 @@ def _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts, counts,
         out_shape=jax.ShapeDtypeStruct((FEAT, p_cap), jnp.float32),
     )(block_tile.astype(jnp.int32), aligned_starts.astype(jnp.int32),
       counts.astype(jnp.int32), starts.astype(jnp.int32), qtabT, g8, ckpt,
-      salpha, sexcl)
+      sw)
 
     # materialize the transpose before any gather from it (a gather of
     # rows from a lazily-transposed array would lower as a lane gather)
@@ -1186,10 +1186,10 @@ def _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts, counts,
 
 def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
     (qtabT, block_tile, aligned_starts, starts, counts, sorted_shift,
-     ckpt, salpha, sexcl, final_t) = res
+     ckpt, sw, final_t) = res
     f_rows, m_pad = qtabT.shape
     d_pad = _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts,
-                            counts, ckpt, salpha, sexcl, final_t, cts,
+                            counts, ckpt, sw, final_t, cts,
                             grid_x, num_tiles, p_cap, chunk)
     # aligned -> sorted: deterministic inverse gather (each live sorted
     # row has a unique aligned position); padding rows get zero. The
@@ -1244,12 +1244,12 @@ def _fused_fwd_rule(feat, gid_pad, counts_full, sorted_tile, live,
                     with_contrib):
     feat_sorted = feat[gid_pad]
     qtabT = _qtabT(feat_sorted, sorted_tile, live, grid_x)
-    out, (ckpt, salpha, sexcl) = _sorted_fwd_impl(
+    out, (ckpt, sw) = _sorted_fwd_impl(
         qtabT, block_tile, aligned_starts, starts, counts, grid_x,
         num_tiles, p_cap, chunk, with_contrib, stash=True)
     _, final_t, _ = out
     res = (qtabT, gid_pad, counts_full, block_tile, aligned_starts,
-           starts, counts, sorted_shift, ckpt, salpha, sexcl, final_t,
+           starts, counts, sorted_shift, ckpt, sw, final_t,
            feat.shape[0])
     return out, res
 
@@ -1257,9 +1257,9 @@ def _fused_fwd_rule(feat, gid_pad, counts_full, sorted_tile, live,
 def _fused_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
     from gaussianmesh_tpu.ops.segsum import _reduce_grouped
     (qtabT, gid_pad, counts_full, block_tile, aligned_starts, starts,
-     counts, sorted_shift, ckpt, salpha, sexcl, final_t, n_rows) = res
+     counts, sorted_shift, ckpt, sw, final_t, n_rows) = res
     d_pad = _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts,
-                            counts, ckpt, salpha, sexcl, final_t, cts,
+                            counts, ckpt, sw, final_t, cts,
                             grid_x, num_tiles, p_cap, chunk)
     # gid-grouped aligned destinations: dead / padding slots (shift
     # sentinel or past m) land on the zero sink row p_cap
