@@ -91,10 +91,22 @@ def _lpips_pair(img1, img2, weights):
 
 
 class LPIPS:
-    """Callable matching lpips_jittor.LPIPS(net='vgg') usage."""
+    """Callable matching lpips_jittor.LPIPS(net='vgg') usage.
 
-    def __init__(self, weights_path: str | None = None):
+    `uncalibrated=True` falls back to deterministic seed weights when no
+    pretrained file exists: the full LPIPS GRAPH with random VGG
+    features. Random-feature perceptual distances rank image similarity
+    usefully (lower still means more similar) but are NOT comparable to
+    published LPIPS numbers — callers must report them under a separate
+    `LPIPS_uncalibrated` key, never as LPIPS. Exists because this
+    container has no weight ingress (see BASELINE.md)."""
+
+    def __init__(self, weights_path: str | None = None,
+                 uncalibrated: bool = False):
         self.weights = load_weights(weights_path)
+        self.calibrated = self.weights is not None
+        if self.weights is None and uncalibrated:
+            self.weights = random_weights(seed=0)
 
     @property
     def available(self) -> bool:

@@ -171,11 +171,11 @@ NCONTRIB_ROW = 4
 
 
 # ---------------------------------------------------------------------------
-# Sorted-domain blend v4: fixed 64-lane alignment granules, generic chunk.
+# Sorted-domain blend v4: fixed ALIGN-lane alignment granules, generic chunk.
 #
 # The aligned pair layout exists only so each compute block belongs to
-# known tiles. The alignment granule is FIXED at binning.ALIGN = 64 (so
-# per-tile lane waste stays <= 63, ~25% at 1080p/100K) while each grid
+# known tiles. The alignment granule is FIXED at binning.ALIGN (so
+# per-tile lane waste stays <= ALIGN - 1) while each grid
 # step processes G = chunk // 64 granules at once. The per-block chain
 # (DMA wait + one MXU alpha contraction + log-step transmittance scans)
 # is what bounds the kernel — the round-2 ablation showed the math
@@ -189,7 +189,7 @@ NCONTRIB_ROW = 4
 # The feature buffer stays in HBM (memory_space=ANY); the kernel streams
 # each granule's sorted-domain window with its own double-buffered async
 # DMA (a 256-wide 128-aligned fetch + a dynamic lane roll to extract the
-# misaligned 64 lanes). Granules fetch INDEPENDENTLY: when max_per_tile
+# misaligned ALIGN lanes). Granules fetch INDEPENDENTLY: when max_per_tile
 # or the aligned-capacity clamp drops a tile's excess pairs, the sorted
 # gap between consecutive granules is unbounded, so a single fetch
 # anchored at the block's first granule would miss later ones. The
@@ -218,10 +218,12 @@ NCONTRIB_ROW = 4
 # reverse-sweep data dependency.
 # ---------------------------------------------------------------------------
 
-ALIGN = 64  # = binning.ALIGN; 8 sublane tiles in the transposed domain
+from gaussianmesh_tpu.ops.binning import ALIGN  # one source of truth
 
-
-_GWIN = 4 * ALIGN  # per-granule fetch window (two 128-lane tiles)
+_DMA_ALIGN = 128   # lane alignment of every HBM fetch base (f32 lane tile)
+_GWIN = 2 * _DMA_ALIGN  # per-granule fetch window (two 128-lane tiles):
+#                         covers [src0, src0 + ALIGN) for any src0 since
+#                         src0 - base <= 127 and ALIGN <= 128
 
 
 def _granule_src0(h, ht_ref, astarts_ref, starts_ref, m_pad, num_tiles):
@@ -243,21 +245,21 @@ def _granule_dma(feat_ref, buf, sem, slot, g, src0):
     fetch anchored at the first granule misses later ones (the round-3
     0.5-maxabs overflow bug). Misaligned extraction happens later with
     one dynamic lane roll (`_granule_extract`)."""
-    base = (src0 // (2 * ALIGN)) * (2 * ALIGN)
+    base = (src0 // _DMA_ALIGN) * _DMA_ALIGN
     return pltpu.make_async_copy(
-        feat_ref.at[:, pl.ds(pl.multiple_of(base, 2 * ALIGN), _GWIN)],
+        feat_ref.at[:, pl.ds(pl.multiple_of(base, _DMA_ALIGN), _GWIN)],
         buf.at[slot, g], sem.at[slot, g])
 
 
 def _granule_extract(buf, slot, g, src0):
     """(FEAT, ALIGN) misaligned granule window from its fetched pair."""
-    off = jax.lax.rem(src0, 2 * ALIGN)
+    off = jax.lax.rem(src0, _DMA_ALIGN)
     shifted = pltpu.roll(buf[slot, g], _GWIN - off, axis=1)
     return shifted[:, :ALIGN]
 
 
 # Fused-block fast path: in the UNCLAMPED case consecutive granules'
-# sorted starts increase by 64 - pad (pad <= 63) per step, so the whole
+# sorted starts increase by ALIGN - pad (pad < ALIGN) per step, so the whole
 # block's G windows live inside ONE 128-aligned _FWIN-wide span and one
 # DMA replaces G — the kernels are DMA-issue/latency-bound per granule
 # (measured: removing ~30% of VPU ops moved ~1%, chunk doubling ~2%),
@@ -265,17 +267,17 @@ def _granule_extract(buf, slot, g, src0):
 # makes inter-granule gaps unbounded; a per-block scalar containment
 # check falls back to the per-granule streams (start, wait, and extract
 # all guard on the SAME deterministic scalar).
-_FWIN = 8 * ALIGN
+_FWIN = 512
 
 
 def _fused_base(bb, G, ht_ref, astarts_ref, starts_ref, m_pad, num_tiles):
     s0 = _granule_src0(G * bb, ht_ref, astarts_ref, starts_ref,
                        m_pad, num_tiles)
-    fb = (s0 // (2 * ALIGN)) * (2 * ALIGN)
-    # clamp stays 2*ALIGN-aligned so the DMA's multiple_of promise holds
-    # for ANY m_pad (m_pad - _FWIN alone is only chunk-aligned; an odd
-    # multiple of ALIGN there would silently corrupt the fused window)
-    return jnp.minimum(fb, ((m_pad - _FWIN) // (2 * ALIGN)) * (2 * ALIGN))
+    fb = (s0 // _DMA_ALIGN) * _DMA_ALIGN
+    # clamp stays _DMA_ALIGN-aligned so the DMA's multiple_of promise
+    # holds for ANY m_pad (m_pad - _FWIN alone is only chunk-aligned; an
+    # unaligned clamp would silently corrupt the fused window)
+    return jnp.minimum(fb, ((m_pad - _FWIN) // _DMA_ALIGN) * _DMA_ALIGN)
 
 
 def _fused_contig(bb, G, ht_ref, astarts_ref, starts_ref, m_pad,
@@ -293,7 +295,7 @@ def _fused_contig(bb, G, ht_ref, astarts_ref, starts_ref, m_pad,
 
 def _fused_dma(feat_ref, fbuf, fsem, slot, fb):
     return pltpu.make_async_copy(
-        feat_ref.at[:, pl.ds(pl.multiple_of(fb, 2 * ALIGN), _FWIN)],
+        feat_ref.at[:, pl.ds(pl.multiple_of(fb, _DMA_ALIGN), _FWIN)],
         fbuf.at[slot], fsem.at[slot])
 
 
@@ -1025,7 +1027,7 @@ def blend_sorted_features(feat_sorted: jax.Array, sorted_tile: jax.Array,
         gradients and composing with an exchange gives sharded ones.
     sorted_tile / live: per-pair owning tile (num_tiles = sentinel) and
         within-granted-count mask — static routing.
-    block_tile: (p_cap // ALIGN + 1,) owning tile per aligned 64-lane
+    block_tile: (p_cap // ALIGN + 1,) owning tile per aligned ALIGN-lane
         granule; num_tiles = sentinel.
     aligned_starts: ALIGN-granular layout bookkeeping.
     starts: (num_tiles + 1,) sorted-domain tile ranges.
@@ -1053,6 +1055,9 @@ def _sorted_fwd_impl(qtabT, block_tile, aligned_starts, starts,
     f_rows, m_pad = qtabT.shape
     assert f_rows == FEAT and m_pad % chunk == 0, (f_rows, m_pad, chunk)
     assert chunk % ALIGN == 0 and chunk >= 2 * ALIGN, chunk
+    # fused-window containment: max granule start - fused base <=
+    # (_DMA_ALIGN - 1) + chunk - ALIGN must fit _FWIN - ALIGN
+    assert chunk + _DMA_ALIGN <= _FWIN, (chunk, _FWIN)
     G = chunk // ALIGN
     pb = p_cap // chunk
     kernel = _make_sorted_fwd_kernel(grid_x, chunk, num_tiles, m_pad,

@@ -147,4 +147,35 @@ def test_metrics_reports_lpips_none_when_no_weights(tmp_path, capsys):
     res = evaluate_dirs(str(rd), str(gd),
                         lpips_weights=str(tmp_path / "nonexistent.npz"))
     assert res["mean"]["LPIPS"] is None          # loud in the artifact
-    assert "WARNING: LPIPS weights not found" in capsys.readouterr().out
+    assert res["mean"]["LPIPS_note"]            # reason next to the null
+    assert "WARNING: no pretrained LPIPS weights" in capsys.readouterr().out
+
+
+def test_metrics_uncalibrated_mode_reports_separate_key(tmp_path):
+    """--lpips_uncalibrated: the seed-weight graph is reported ONLY under
+    LPIPS_uncalibrated (never LPIPS), ranks similarity (identical pair
+    scores 0, a perturbed pair scores > 0), and is deterministic."""
+    from PIL import Image
+    from gaussianmesh_tpu.eval.metrics import evaluate_dirs
+
+    rd = tmp_path / "renders"
+    gd = tmp_path / "gt"
+    rd.mkdir()
+    gd.mkdir()
+    rng = np.random.default_rng(1)
+    arr = (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(rd / "0.png")
+    Image.fromarray(arr).save(gd / "0.png")
+    res = evaluate_dirs(str(rd), str(gd),
+                        lpips_weights=str(tmp_path / "none.npz"),
+                        lpips_uncalibrated=True)
+    assert res["mean"]["LPIPS"] is None
+    assert res["mean"]["LPIPS_uncalibrated"] == pytest.approx(0.0, abs=1e-6)
+
+    noisy = np.clip(arr.astype(np.int32)
+                    + rng.integers(-60, 60, arr.shape), 0, 255).astype(np.uint8)
+    Image.fromarray(noisy).save(rd / "0.png")
+    res2 = evaluate_dirs(str(rd), str(gd),
+                         lpips_weights=str(tmp_path / "none.npz"),
+                         lpips_uncalibrated=True)
+    assert res2["mean"]["LPIPS_uncalibrated"] > 1e-4

@@ -106,3 +106,61 @@ def test_mesh_io_roundtrip(tmp_path):
         v2, f2 = mesh_io.read_triangle_mesh(path)
         np.testing.assert_allclose(v2, v, atol=1e-5)
         np.testing.assert_array_equal(f2, f)
+
+
+def test_mesh_ply_header_matches_reference_schema(tmp_path):
+    """Golden byte-level header check against the REFERENCE field order
+    (scene/mesh_based_gaussian_model.py:290-302 construct_list_of_attributes):
+    a reference-trained ply and a repo-trained ply must be mutually loadable
+    field-for-field, so the exact property ORDER (not just the set) is the
+    interop contract. sh_degree=3 -> 45 f_rest channels, channel-major."""
+    v, f = icosphere(0)
+    p, b, _, _ = mgs.create_from_mesh(jnp.asarray(v), jnp.asarray(f),
+                                      capacity=f.shape[0],
+                                      vertex_capacity=4 * v.shape[0],
+                                      max_sh_degree=3)
+    path = str(tmp_path / "golden.ply")
+    gaussian_ply.save_mesh_gaussian_ply(path, p, b)
+
+    expected = (["x", "y", "z", "nx", "ny", "nz", "ca", "cb", "cc",
+                 "v1x", "v1y", "v1z", "v2x", "v2y", "v2z",
+                 "v3x", "v3y", "v3z", "dis",
+                 "v_index1", "v_index2", "v_index3", "radius", "face_id"]
+                + [f"f_dc_{i}" for i in range(3)]
+                + [f"f_rest_{i}" for i in range(45)]
+                + ["opacity"]
+                + [f"scale_{i}" for i in range(3)]
+                + [f"rot_{i}" for i in range(4)])
+    with open(path, "rb") as fh:
+        header = fh.read(8192).split(b"end_header")[0].decode("ascii")
+    lines = [ln.strip() for ln in header.splitlines()]
+    assert any(ln.startswith("element vertex") for ln in lines)
+    got = [ln.split()[-1] for ln in lines if ln.startswith("property")]
+    assert got == expected, (got, expected)
+    # every property is float32, as the reference writes ('f4')
+    types = {ln.split()[1] for ln in lines if ln.startswith("property")}
+    assert types == {"float"}, types
+
+
+def test_vanilla_ply_header_matches_reference_schema(tmp_path):
+    """Same golden check for the background model schema
+    (scene/gaussian_model.py:221-236): the mesh schema minus the
+    attachment block."""
+    pts = np.random.default_rng(0).normal(size=(7, 3)).astype(np.float32)
+    cols = np.full((7, 3), 0.5, np.float32)
+    p, st = gs.create_from_points(jnp.asarray(pts), jnp.asarray(cols),
+                                  capacity=7, max_sh_degree=3)
+    path = str(tmp_path / "golden_bg.ply")
+    gaussian_ply.save_gaussian_ply(path, p, st.alive)
+
+    expected = (["x", "y", "z", "nx", "ny", "nz"]
+                + [f"f_dc_{i}" for i in range(3)]
+                + [f"f_rest_{i}" for i in range(45)]
+                + ["opacity"]
+                + [f"scale_{i}" for i in range(3)]
+                + [f"rot_{i}" for i in range(4)])
+    with open(path, "rb") as fh:
+        header = fh.read(8192).split(b"end_header")[0].decode("ascii")
+    lines = [ln.strip() for ln in header.splitlines()]
+    got = [ln.split()[-1] for ln in lines if ln.startswith("property")]
+    assert got == expected, (got, expected)

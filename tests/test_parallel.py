@@ -306,6 +306,7 @@ def test_gauss_sharded_train_step_matches_single_chip(setup):
                                    err_msg=name)
 
 
+@pytest.mark.slow  # minutes-long virtual-mesh integration run
 def test_mesh_trainer_gauss_sharded(setup):
     """MeshTrainer in the Gaussian-table-sharded regime (shard_gaussians=4)
     trains on the virtual CPU mesh."""
@@ -338,6 +339,7 @@ def test_mesh_trainer_gauss_sharded(setup):
     assert losses[-1] < losses[0] * 1.2
 
 
+@pytest.mark.slow  # minutes-long virtual-mesh integration run
 def test_mesh_trainer_gauss_sharded_ckpt_resume(setup, tmp_path):
     """Sharded train -> orbax checkpoint THROUGH a densify event -> fresh
     trainer -> resume -> end state equals the uninterrupted run
@@ -431,6 +433,7 @@ def test_gauss_sharded_send_overflow_reported():
     assert overflow > 0                  # starved capacity must be visible
 
 
+@pytest.mark.slow  # minutes-long virtual-mesh integration run
 def test_gauss_sharded_densify_matches_single_table():
     """Per-shard compaction == single-table densify when no per-shard cap
     binds: same n_split, same alive count, same vertex growth, and the

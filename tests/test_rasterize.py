@@ -169,12 +169,11 @@ def test_pair_overflow_clamps_counts_to_granted_blocks():
     from gaussianmesh_tpu.ops import binning
 
     num_tiles, chunk = 8, 128
-    half = chunk // 2
-    # 6 live tiles x 1 pair -> aligned demand 6 half-granules (6*64),
-    # capacity only 4 half-granules (2*128)
+    half = binning.ALIGN
+    # 6 live tiles x 1 pair -> aligned demand 6 granules, capacity only 4
     sorted_tile = jnp.asarray([0, 1, 2, 4, 5, 7], jnp.int32)
     sorted_gid = jnp.arange(6, dtype=jnp.int32)
-    p_cap = 2 * chunk
+    p_cap = -(-4 * half // chunk) * chunk
     tiles = binning.finish_tile_lists(sorted_tile, sorted_gid,
                                       num_valid=jnp.int32(6),
                                       rect_overflow=jnp.int32(0),

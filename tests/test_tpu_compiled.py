@@ -229,3 +229,27 @@ def test_bench_scale_scan_regression(steps):
     np.testing.assert_array_equal(nrends, nrends[0])
     np.testing.assert_allclose(losses, losses[0], rtol=1e-6)
     assert nrends[0] > 100_000  # a real workload, not a degenerate render
+
+
+@pytest.mark.parametrize("chunk", [128, 256])
+def test_compiled_n_contrib_matches_jnp(small_scene, chunk):
+    """with_contrib=True on the COMPILED kernel: the per-pixel rank
+    bookkeeping (the reference's n_contrib, forward.cu:367-373) is off
+    by default on the Pallas path; this parity check keeps the flag from
+    rotting (VERDICT r3 missing #4). n_contrib counts the 1-based rank
+    of the LAST contributing pair in the tile's depth order — integer
+    semantics, compared exactly except for the rare pixels where
+    MXU-vs-VPU rounding flips a borderline alpha >= 1/255 or T >= 1e-4
+    gate (the same class of diff the pixel tolerances absorb)."""
+    cam, sc, cfg = small_scene
+    cfg = dict(cfg, blend_chunk=chunk, with_contrib=True)
+    args = (sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"], BG, cam)
+    out_p = rasterize(*args, RasterizerConfig(use_pallas=True, **cfg))
+    out_j = rasterize(*args, RasterizerConfig(use_pallas=False, **cfg))
+    nc_p = np.asarray(out_p.n_contrib, np.int32)
+    nc_j = np.asarray(out_j.n_contrib, np.int32)
+    neq = nc_p != nc_j
+    assert neq.mean() <= 1e-3, (neq.sum(), nc_p[neq][:8], nc_j[neq][:8])
+    assert ((nc_p > 0) == (nc_j > 0)).all()
+    np.testing.assert_allclose(np.asarray(out_p.color),
+                               np.asarray(out_j.color), atol=5e-5)
