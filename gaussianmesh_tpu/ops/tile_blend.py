@@ -922,12 +922,16 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             d_ca = dq0 * (-0.5 * xs * xs) + dq1 * xs - 0.5 * dq3
             d_cb = dq0 * (-xs * ys) + dq1 * ys + dq2 * xs - dq4
             d_cc = dq0 * (-0.5 * ys * ys) + dq2 * ys - 0.5 * dq5
-            d_op = dq0 / jnp.maximum(featw[ROW_QOP], 1e-30)
-            # out-of-window lanes (DMA overrun garbage) have dq == 0
-            # exactly, but 0 * garbage can still be NaN — mask them
-            wlane = wmask[:, 0]                            # (chunk,)
-            drows = jnp.stack([d_x, d_y, d_ca, d_cb, d_cc, d_op], axis=0)
-            drows = jnp.where(wlane[None, :], drows, 0.0)
+            # The opacity slot carries RAW dq0; the caller divides by op
+            # on the per-row/per-gaussian domain (op is constant over a
+            # gaussian's pairs, so sum-then-divide == divide-then-sum) —
+            # the in-kernel lane division + max measured ~1.5 ms/step.
+            # No window mask on the rows either: out-of-window and dead
+            # lanes have w == 0 (stashed) -> glive false -> dpower == 0
+            # EXACTLY, every featw value within m_pad is finite real
+            # data by construction, and 0 * finite == 0 — the masked
+            # broadcast this replaces measured ~5 ms/step of layout ops.
+            drows = jnp.stack([d_x, d_y, d_ca, d_cb, d_cc, dq0], axis=0)
             dpart_ref[...] = jnp.concatenate([
                 drows, cw,
                 jnp.zeros((FEAT - 9, chunk), jnp.float32)], axis=0)
@@ -1204,6 +1208,10 @@ def _sorted_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
     p_idx = jnp.arange(m, dtype=jnp.int32)
     dest = jnp.clip(p_idx + sorted_shift, 0, p_cap)
     d_sorted = d_pad[dest]                               # (m, FEAT)
+    # the kernel emits raw dq0 in the opacity slot (PERF.md): divide by
+    # the per-pair opacity here (fused into the gather's consumer)
+    d_op = d_sorted[:, ROW_OP] / jnp.maximum(qtabT[ROW_QOP, :m], 1e-30)
+    d_sorted = d_sorted.at[:, ROW_OP].set(d_op)
     d_feat = jnp.zeros((m_pad, f_rows), d_pad.dtype).at[:m].set(d_sorted)
     return (d_feat, None, None, None, None, None, None, None)
 
@@ -1255,14 +1263,15 @@ def _fused_fwd_rule(feat, gid_pad, counts_full, sorted_tile, live,
     _, final_t, _ = out
     res = (qtabT, gid_pad, counts_full, block_tile, aligned_starts,
            starts, counts, sorted_shift, ckpt, sw, final_t,
-           feat.shape[0])
+           feat[:, ROW_OP])
     return out, res
 
 
 def _fused_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
     from gaussianmesh_tpu.ops.segsum import _reduce_grouped
     (qtabT, gid_pad, counts_full, block_tile, aligned_starts, starts,
-     counts, sorted_shift, ckpt, sw, final_t, n_rows) = res
+     counts, sorted_shift, ckpt, sw, final_t, op_rows) = res
+    n_rows = op_rows.shape[0]
     d_pad = _run_bwd_kernel(qtabT, block_tile, aligned_starts, starts,
                             counts, ckpt, sw, final_t, cts,
                             grid_x, num_tiles, p_cap, chunk)
@@ -1281,6 +1290,10 @@ def _fused_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
         jnp.cumsum(counts_full).astype(jnp.int32)])[:n_rows]
     head_pos = jnp.where(counts_full > 0, head_starts, m_pad)
     d_feat = _reduce_grouped(sg, ds, head_pos, n_rows)
+    # raw dq0 -> d(opacity): op is constant over a gaussian's pairs, so
+    # the division commutes with the reduction and runs on the N-domain
+    d_feat = d_feat.at[:, ROW_OP].set(
+        d_feat[:, ROW_OP] / jnp.maximum(op_rows, 1e-30))
     return (d_feat, None, None, None, None, None, None, None, None, None)
 
 
