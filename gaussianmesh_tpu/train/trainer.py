@@ -405,41 +405,117 @@ class MeshTrainer:
         self._step_fns[key] = step
         return step
 
+    def _get_multi_step_fn(self, sh_degree: int, capacity: int, k: int):
+        """k iterations in ONE dispatch: the per-iter step body scanned
+        with the RNG key carried through the scan, splitting exactly as
+        the one-dispatch-per-iteration loop did (same key -> same
+        cam/bg sequence -> identical training trajectory). Amortizes the
+        host->device dispatch latency (~30 ms/dispatch on the axon
+        relay, which dominated small-scene training wall-clock); callers
+        guarantee no densify / opacity-reset / SH-bump boundary falls
+        strictly inside the k iterations."""
+        key = ("multi", sh_degree, capacity, k,
+               self.ds.width, self.ds.height)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        step = self._get_step_fn(sh_degree, capacity)
+        step_body = getattr(step, "__wrapped__", step)  # avoid jit-in-jit
+        n_cams = self.ds.images.shape[0]
+        data_ax = (self.device_mesh.shape["data"]
+                   if self.device_mesh is not None else None)
+        is_bg = self.is_exist_bg
+        bg_const = self.bg_const
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 4))
+        def multi(params, opt_state, state, binding, key0):
+            def body(carry, _):
+                params, opt_state, state, rk = carry
+                rk, k_cam, k_bg = jax.random.split(rk, 3)
+                if data_ax is not None:
+                    cam_idx = jax.random.randint(k_cam, (data_ax,), 0,
+                                                 n_cams)
+                else:
+                    cam_idx = jax.random.randint(k_cam, (), 0, n_cams)
+                bg = (jax.random.uniform(k_bg, (3,)) if is_bg
+                      else bg_const)
+                params, opt_state, state, metrics = step_body(
+                    params, opt_state, state, binding, cam_idx, bg)
+                return (params, opt_state, state, rk), metrics
+            (params, opt_state, state, rk), ms = jax.lax.scan(
+                body, (params, opt_state, state, key0), None, length=k)
+            return params, opt_state, state, rk, ms
+
+        self._step_fns[key] = multi
+        return multi
+
+    # max iterations batched into one device dispatch (lax.scan). Each
+    # dispatch on the axon relay pays ~30 ms of completion-polling
+    # latency regardless of compute, so one-step-per-dispatch training
+    # is latency-bound at small scenes; 50 keeps segment lengths aligned
+    # with the default densify/reset/SH schedules (all multiples of 50)
+    # so only one scan length compiles. 1 restores the per-iter loop.
+    steps_per_dispatch: int = 50
+
     def train(self, iterations: int | None = None,
               log_every: int = 50, callback=None) -> list[dict]:
         opt = self.opt
         iterations = iterations or opt.iterations
-        n_cams = self.ds.images.shape[0]
         t0 = time.time()
+        spd = max(1, int(self.steps_per_dispatch))
+        done = 0
 
-        for step_i in range(iterations):
+        while done < iterations:
             # all schedules key off the GLOBAL iteration: train() is called
             # in segments between save/test boundaries (cli/train_mesh) and
             # must not restart the densify window / SH ladder each segment
-            self.global_it += 1
-            it = self.global_it
+            it = self.global_it + 1            # first iter of this segment
             if it % 1000 == 0 and self.sh_degree < self.max_sh_degree:
                 self.sh_degree += 1
 
-            self.key, k_cam, k_bg = jax.random.split(self.key, 3)
-            if self.device_mesh is not None:
-                cam_idx = jax.random.randint(
-                    k_cam, (self.device_mesh.shape["data"],), 0, n_cams)
+            # longest run [it, end] with no python-side event strictly
+            # inside: SH bumps hit iteration STARTS (only `it` itself may
+            # be one — handled above); densify and opacity reset fire
+            # AFTER their iteration, so they may only be the segment end
+            def _nxt(interval, lo):
+                return ((lo + interval - 1) // interval) * interval
+            end = min(
+                it + (iterations - done) - 1,
+                _nxt(1000, it + 1) - 1,
+                _nxt(opt.densification_interval, it)
+                if it <= opt.densify_until_iter else it + (1 << 30),
+                _nxt(opt.opacity_reset_interval, it),
+                it + spd - 1,
+            )
+            k = end - it + 1
+            cap = int(self.binding.alive.shape[0])
+            if k > 1:
+                multi = self._get_multi_step_fn(self.sh_degree, cap, k)
+                (self.params, self.opt_state, self.state, self.key,
+                 ms) = multi(self.params, self.opt_state, self.state,
+                             self.binding, self.key)
             else:
-                cam_idx = jax.random.randint(k_cam, (), 0, n_cams)
-            bg = (jax.random.uniform(k_bg, (3,)) if self.is_exist_bg
-                  else self.bg_const)
+                self.key, k_cam, k_bg = jax.random.split(self.key, 3)
+                if self.device_mesh is not None:
+                    cam_idx = jax.random.randint(
+                        k_cam, (self.device_mesh.shape["data"],), 0,
+                        self.ds.images.shape[0])
+                else:
+                    cam_idx = jax.random.randint(
+                        k_cam, (), 0, self.ds.images.shape[0])
+                bg = (jax.random.uniform(k_bg, (3,)) if self.is_exist_bg
+                      else self.bg_const)
+                step = self._get_step_fn(self.sh_degree, cap)
+                self.params, self.opt_state, self.state, metrics = step(
+                    self.params, self.opt_state, self.state, self.binding,
+                    cam_idx, bg)
+                ms = jax.tree.map(lambda x: jnp.asarray(x)[None], metrics)
+            self.global_it = end
+            done += k
 
-            step = self._get_step_fn(self.sh_degree,
-                                     int(self.binding.alive.shape[0]))
-            self.params, self.opt_state, self.state, metrics = step(
-                self.params, self.opt_state, self.state, self.binding,
-                cam_idx, bg)
-
-            if it < opt.densify_until_iter and it > opt.densify_from_iter \
-                    and it % opt.densification_interval == 0:
+            if end < opt.densify_until_iter and end > opt.densify_from_iter \
+                    and end % opt.densification_interval == 0:
                 self.densify()
-            if it % opt.opacity_reset_interval == 0:
+            if end % opt.opacity_reset_interval == 0:
                 self.params = densify_mod.reset_opacity(self.params)
                 # the reference zeroes opacity's Adam moments on reset
                 # (replace_tensor_to_optimizer, gaussian_model.py:290-301)
@@ -448,16 +524,23 @@ class MeshTrainer:
                     mu.replace(opacity=jnp.zeros_like(mu.opacity)),
                     nu.replace(opacity=jnp.zeros_like(nu.opacity)))
 
-            if it % log_every == 0 or step_i == iterations - 1:
-                m = {k: float(v) for k, v in metrics.items()}
-                m.update(iter=it, n_alive=int(self.binding.alive.sum()),
-                         elapsed=time.time() - t0)
-                self.metrics_log.append(m)
-                if self.logger is not None:
-                    self.logger.scalars(it, {f"train/{k}": v for k, v in
-                                             m.items() if k != "iter"})
-                if callback:
-                    callback(m)
+            log_js = [j for j in range(k)
+                      if (it + j) % log_every == 0
+                      or (done == iterations and j == k - 1)]
+            if log_js:
+                ms_host = jax.tree.map(np.asarray, ms)
+                n_alive = int(self.binding.alive.sum())
+                for j in log_js:
+                    m = {kk: float(v[j]) for kk, v in ms_host.items()}
+                    m.update(iter=it + j, n_alive=n_alive,
+                             elapsed=time.time() - t0)
+                    self.metrics_log.append(m)
+                    if self.logger is not None:
+                        self.logger.scalars(
+                            it + j, {f"train/{kk}": v for kk, v in
+                                     m.items() if kk != "iter"})
+                    if callback:
+                        callback(m)
         return self.metrics_log
 
     # ---------------------------------------------------------------- eval
