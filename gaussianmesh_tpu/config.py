@@ -71,6 +71,11 @@ class RuntimeParams:
     capacity: int = 0            # 0 -> auto from init count
     max_per_tile: int = 1024
     blend_chunk: int = 128
+    # rasterizer pair/row capacity headroom per gaussian (overflow is
+    # counted + reported, and the trainer's blend grid walks every
+    # capacity block, so oversizing costs real step time at large N)
+    pair_capacity_per_gaussian: int = 10
+    row_capacity_per_gaussian: int = 4
     use_pallas: bool = True
     data_axis: int = 1           # device-mesh data (camera) axis size
     tile_axis: int = 1           # device-mesh tile axis size

@@ -265,7 +265,8 @@ class MeshTrainer:
         return RasterizerConfig(
             width=self.ds.width, height=height or self.ds.height,
             max_per_tile=self.rt.max_per_tile,
-            
+            pair_capacity_per_gaussian=self.rt.pair_capacity_per_gaussian,
+            row_capacity_per_gaussian=self.rt.row_capacity_per_gaussian,
             blend_chunk=self.rt.blend_chunk,
             use_pallas=self.rt.use_pallas and jax.default_backend() == "tpu")
 

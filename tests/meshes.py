@@ -40,3 +40,34 @@ def icosphere(subdiv: int = 1, radius: float = 1.0):
         verts = np.asarray(verts)
 
     return (radius * np.asarray(verts)).astype(np.float32), faces.astype(np.int32)
+
+
+def uv_sphere(segments: int = 40, rings: int = 21, radius: float = 1.0):
+    """Lat-long sphere: 2 * segments * (rings - 1) triangles — face counts
+    between icosphere's 20 * 4^k steps (e.g. 40x21 -> 1600 faces, which
+    1:4-subdivides to 102,400: just past the reference's >= 100K init
+    floor, train_mesh_gaussian.py:60)."""
+    verts = [(0.0, radius, 0.0)]
+    for r in range(1, rings):
+        phi = np.pi * r / rings
+        for s in range(segments):
+            th = 2 * np.pi * s / segments
+            verts.append((radius * np.sin(phi) * np.cos(th),
+                          radius * np.cos(phi),
+                          radius * np.sin(phi) * np.sin(th)))
+    verts.append((0.0, -radius, 0.0))
+    last = len(verts) - 1
+    faces = []
+    for s in range(segments):
+        faces.append([0, 1 + (s + 1) % segments, 1 + s])
+    for r in range(rings - 2):
+        a0 = 1 + r * segments
+        b0 = a0 + segments
+        for s in range(segments):
+            s1 = (s + 1) % segments
+            faces.append([a0 + s, a0 + s1, b0 + s])
+            faces.append([a0 + s1, b0 + s1, b0 + s])
+    b0 = 1 + (rings - 2) * segments
+    for s in range(segments):
+        faces.append([b0 + s, b0 + (s + 1) % segments, last])
+    return (np.asarray(verts, np.float32), np.asarray(faces, np.int32))
