@@ -140,10 +140,17 @@ def main():
     for d in D_LIST:
         gy_pad = -(-68 // d) * d                   # pad tile rows to D
         h_pad = gy_pad * 16
+        # capacities sized for the BAND's load (a real tile-sharded
+        # deployment sizes local buffers for local pairs + skew headroom,
+        # exactly like gauss_shard's send capacities; overflow stays
+        # counted): an unscaled capacity made every band walk the full
+        # 1-device blend grid and measured capacity waste, not compute
         bcfg = RasterizerConfig(width=WIDTH, height=h_pad,
                                 max_per_tile=1024, blend_chunk=128,
-                                pair_capacity_per_gaussian=9,
-                                row_capacity_per_gaussian=3,
+                                pair_capacity_per_gaussian=max(
+                                    2, -(-9 // d) + (1 if d > 1 else 0)),
+                                row_capacity_per_gaussian=max(
+                                    1, -(-3 // d)),
                                 use_pallas=use_pallas)
         gy_local = gy_pad // d
         per_band = []
@@ -197,6 +204,28 @@ def main():
                    "halo_bytes": halo_bytes if d > 1 else 0}
     out["comms"] = comm
     out["param_bytes"] = n_params_bytes
+
+    # --- 3b. data-axis (multi-host) efficiency --------------------------
+    # The >= 80% multi-host bar (BASELINE.md Scaling row) is the DATA
+    # axis of the (data, tile) mesh: each host trains its own cameras on
+    # a full replica — per-device compute is the measured plain step
+    # verbatim — and the only cross-host traffic is ONE gradient psum of
+    # the parameter pytree per step. Modeled on the measured step time
+    # and counted psum bytes with the stated link rates; no_overlap is
+    # the worst case (XLA overlaps the psum with the backward).
+    data_eff = {}
+    for d in (2, 4, 8, 16):
+        ar = 2 * (d - 1) / d * n_params_bytes
+        t_ici = ar / (ICI_GBPS * 1e9) * 1e3
+        t_dcn = ar / (DCN_GBPS * 1e9) * 1e3
+        data_eff[d] = {
+            "psum_mb": round(ar / 1e6, 1),
+            "eff_ici_no_overlap": round(plain_ms / (plain_ms + t_ici), 3),
+            "eff_dcn_no_overlap": round(plain_ms / (plain_ms + t_dcn), 3),
+            "eff_overlap": round(min(1.0, plain_ms / max(
+                plain_ms, t_dcn)), 3),
+        }
+    out["data_axis_efficiency"] = data_eff
 
     # --- 4. (data=1, tile=1) sharded training-step overhead -------------
     try:
