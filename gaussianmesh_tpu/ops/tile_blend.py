@@ -1289,7 +1289,7 @@ def _fused_bwd_rule(grid_x, num_tiles, p_cap, chunk, with_contrib, res, cts):
         jnp.zeros((1,), jnp.int32),
         jnp.cumsum(counts_full).astype(jnp.int32)])[:n_rows]
     head_pos = jnp.where(counts_full > 0, head_starts, m_pad)
-    d_feat = _reduce_grouped(sg, ds, head_pos, n_rows)
+    d_feat = _reduce_grouped(sg, ds, head_pos, n_rows, counts_full)
     # raw dq0 -> d(opacity): op is constant over a gaussian's pairs, so
     # the division commutes with the reduction and runs on the N-domain
     d_feat = d_feat.at[:, ROW_OP].set(
