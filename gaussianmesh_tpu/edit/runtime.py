@@ -303,8 +303,13 @@ def _playback_fns(obj, cam_arrays, cfg, bg_color):
     # collision case (different live camera, same id — impossible while
     # the ref is held) fail closed
     if hit is not None and hit[0] is cam_arrays:
+        # refresh insertion order on hit (LRU, not FIFO): an interactive
+        # loop ping-ponging among > _PLAYBACK_CACHE_MAX cameras must not
+        # evict its hottest entry and recompile every frame
+        cache.pop(key)
+        cache[key] = hit
         return hit[1], hit[2]
-    while len(cache) >= _PLAYBACK_CACHE_MAX:  # FIFO eviction (dict order)
+    while len(cache) >= _PLAYBACK_CACHE_MAX:  # evict least-recently-used
         cache.pop(next(iter(cache)))
     bg = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
 

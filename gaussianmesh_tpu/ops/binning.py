@@ -54,13 +54,14 @@ ALPHA_MIN = 1.0 / 255.0
 # Aligned-layout granule (lanes). Fixed independent of the blend chunk:
 # the blend kernel processes chunk // ALIGN granules per grid step, so
 # growing the chunk amortizes per-block latency WITHOUT growing per-tile
-# padding waste (tiles pay <= ALIGN-1 pad lanes each). 32 = 4 sublane
+# padding waste (tiles pay <= ALIGN-1 pad lanes each). 64 = 8 sublane
 # tiles in the kernel's transposed (pairs-on-sublanes) domain, keeping
-# granule slices tile-aligned. 64 is the measured sweet spot: 32 shrank
-# the aligned pair domain ~12% at 1080p/100K but LOST 1.6 ms/step — the
-# doubled per-granule overhead (window rolls, scalar branches,
-# cross-granule combines at G = chunk/ALIGN = 8) outweighed the fewer
-# vector elements (round-4 measurement).
+# granule slices tile-aligned, and is the measured sweet spot: the
+# rejected ALIGN=32 alternative shrank the aligned pair domain ~12% at
+# 1080p/100K but LOST 1.6 ms/step — the doubled per-granule overhead
+# (window rolls, scalar branches, cross-granule combines at
+# G = chunk/ALIGN = 8) outweighed the fewer vector elements (round-4
+# measurement).
 ALIGN = 64
 # slack on the cull threshold so rounding differences between the
 # closed-form q_min and the blend kernel's own alpha can never cull a

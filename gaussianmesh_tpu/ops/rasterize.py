@@ -182,3 +182,129 @@ def rasterize(means3d: jax.Array, cov6: jax.Array, opacity: jax.Array,
         rect_overflow=tiles.rect_overflow,
         pair_overflow=tiles.pair_overflow,
     )
+
+
+class StaticPairs(NamedTuple):
+    """Pre-expanded pair domain of a STATIC Gaussian set, for composite
+    playback (BASELINE config 5: multi-object scene edit where one
+    object deforms per frame). Computed once per camera with
+    `precompute_static_pairs`; `rasterize_composite` merges it into each
+    frame's dynamic expansion at the PAIR level, so the static objects
+    and background never re-run preprocess / pair expansion per frame.
+    The reference re-runs its whole pipeline on the concatenated scene
+    every frame (/root/reference/edittool/__init__.py:158-231); the
+    tile-sorted pair domain makes this reuse possible. Forward-only
+    (all members are stop-gradient)."""
+    feat: jax.Array         # (Ns + 1, FEAT) pack_features table, dummy last
+    pair_tile: jax.Array    # (ms,) int32; num_tiles = sentinel
+    pair_gid: jax.Array     # (ms,) int32 LOCAL static ids; Ns = sentinel
+    pair_depth: jax.Array   # (ms,) f32; inf on sentinel slots
+    gid_counts: jax.Array   # (Ns,) int32 exact pair multiplicities
+    num_valid: jax.Array    # () int32
+    rect_overflow: jax.Array
+
+
+def precompute_static_pairs(means3d: jax.Array, cov6: jax.Array,
+                            opacity: jax.Array, rgb: jax.Array,
+                            cam: CameraArrays, cfg: RasterizerConfig,
+                            active_mask: jax.Array | None = None
+                            ) -> StaticPairs:
+    gx, gy = cfg.grid
+    prep = prep_mod.preprocess(means3d, cov6, cam, cfg.width, cfg.height,
+                               opacity=opacity)
+    if active_mask is not None:
+        prep = prep._replace(
+            valid=prep.valid & active_mask,
+            radius=jnp.where(active_mask, prep.radius, 0),
+            tiles_touched=jnp.where(active_mask, prep.tiles_touched, 0))
+    prep = jax.tree.map(jax.lax.stop_gradient, prep)
+    n = means3d.shape[0]
+    exp = binning.expand_pairs(prep, gx, gy, cfg.expand_capacity(n),
+                               opacity=opacity,
+                               row_capacity=cfg.row_capacity(n))
+    feat = tile_blend.pack_features(
+        prep.mean2d, prep.conic, opacity.reshape(-1), rgb, prep.valid)
+    return StaticPairs(
+        feat=jax.lax.stop_gradient(feat), pair_tile=exp.pair_tile,
+        pair_gid=exp.gid_slot, pair_depth=exp.pair_depth,
+        gid_counts=exp.gid_counts, num_valid=exp.num_valid,
+        rect_overflow=exp.rect_overflow)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def rasterize_composite(means3d: jax.Array, cov6: jax.Array,
+                        opacity: jax.Array, rgb: jax.Array, bg: jax.Array,
+                        cam: CameraArrays, cfg: RasterizerConfig,
+                        static: StaticPairs,
+                        active_mask: jax.Array | None = None
+                        ) -> RasterizeOut:
+    """`rasterize` of the DYNAMIC set with a cached static pair domain
+    merged in before the (tile, depth) sort. Same math as rasterizing
+    the concatenated scene (up to depth-tie emission order); the static
+    part contributes zero per-frame preprocess/expansion cost.
+    Forward-only: playback never differentiates (radii/mean2d report
+    the dynamic set)."""
+    gx, gy = cfg.grid
+    num_tiles = cfg.num_tiles
+    n_d = means3d.shape[0]
+    n_s = static.feat.shape[0] - 1
+    n_tot = n_d + n_s
+    prep = prep_mod.preprocess(means3d, cov6, cam, cfg.width, cfg.height,
+                               opacity=opacity)
+    if active_mask is not None:
+        prep = prep._replace(
+            valid=prep.valid & active_mask,
+            radius=jnp.where(active_mask, prep.radius, 0),
+            tiles_touched=jnp.where(active_mask, prep.tiles_touched, 0))
+    prep = jax.tree.map(jax.lax.stop_gradient, prep)
+    exp = binning.expand_pairs(prep, gx, gy, cfg.expand_capacity(n_d),
+                               opacity=opacity,
+                               row_capacity=cfg.row_capacity(n_d))
+    feat_d = tile_blend.pack_features(
+        prep.mean2d, prep.conic, opacity.reshape(-1), rgb, prep.valid)
+
+    # combined table [dyn | static | dummy]; remap sentinels to n_tot
+    feat = jnp.concatenate([feat_d[:n_d], static.feat[:n_s],
+                            jnp.zeros((1, tile_blend.FEAT))])
+    gid_d = jnp.where(exp.gid_slot >= n_d, n_tot, exp.gid_slot)
+    gid_s = jnp.where(static.pair_gid >= n_s, n_tot,
+                      static.pair_gid + n_d)
+    pair_tile = jnp.concatenate([exp.pair_tile, static.pair_tile])
+    pair_depth = jnp.concatenate([exp.pair_depth, static.pair_depth])
+    gid_all = jnp.concatenate([gid_d, gid_s])
+    sorted_tile, _, sorted_gid = jax.lax.sort(
+        (pair_tile, pair_depth, gid_all), num_keys=2, is_stable=True)
+    m_tot = pair_tile.shape[0]
+    p_cap = -(-(m_tot + cfg.aligned_pad(num_tiles))
+              // cfg.blend_chunk) * cfg.blend_chunk
+    tiles = binning.finish_tile_lists(
+        sorted_tile, sorted_gid, exp.num_valid + static.num_valid,
+        exp.rect_overflow + static.rect_overflow, num_tiles,
+        cfg.max_per_tile, p_cap, cfg.blend_chunk)
+    tiles = tiles._replace(gid_counts=jnp.concatenate(
+        [exp.gid_counts, static.gid_counts]))
+
+    if cfg.use_pallas:
+        color_t, final_t_t, ncon_t = tile_blend.blend_sorted_table(
+            feat, tiles, gx, num_tiles, p_cap, cfg.blend_chunk, n_tot,
+            with_contrib=cfg.with_contrib)
+    else:
+        lists = binning.tile_id_lists(tiles, num_tiles, cfg.max_per_tile,
+                                      n_tot)
+        tile_feats = jnp.swapaxes(feat[lists], 1, 2)
+        color_t, final_t_t, ncon_t = tile_blend.blend_tiles_jnp(tile_feats,
+                                                                gx)
+
+    color = _assemble(color_t, cfg)
+    final_t = _assemble(final_t_t[:, None], cfg)[0]
+    n_contrib = _assemble(ncon_t[:, None], cfg)[0]
+    color = color + final_t[None] * bg[:, None, None]
+    return RasterizeOut(
+        color=color, final_t=final_t, n_contrib=n_contrib,
+        radii=prep.radius, mean2d=prep.mean2d,
+        visibility=prep.radius > 0,
+        num_rendered=tiles.num_rendered,
+        tile_overflow=tiles.tile_overflow,
+        rect_overflow=tiles.rect_overflow,
+        pair_overflow=tiles.pair_overflow,
+    )

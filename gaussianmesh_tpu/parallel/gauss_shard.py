@@ -61,13 +61,32 @@ def rasterize_band_gauss_sharded(
         arrays: GaussianArrays, cam: CameraArrays, cfg: RasterizerConfig,
         gy_local: int, axis_name: str, send_capacity: int,
         bg: jax.Array,
-        mean2d_offset: jax.Array | None = None) -> GaussShardOut:
+        mean2d_offset: jax.Array | None = None,
+        _emulate_d: int | None = None,
+        _emulate_idx: jax.Array | int = 0) -> GaussShardOut:
     """Inside shard_map over `axis_name` (D devices): `arrays` is this
     device's Gaussian shard (N_local rows); the device also owns tile
     rows [idx*gy_local, (idx+1)*gy_local). cfg.height is the PADDED
-    global height (grid_y == gy_local * D)."""
-    d_ax = jax.lax.axis_size(axis_name)
-    my = jax.lax.axis_index(axis_name)
+    global height (grid_y == gy_local * D).
+
+    `_emulate_d` (scaling harness only, tools/bench_scaling.py): run the
+    per-device COMPUTE of a D-way sharded step on ONE chip outside any
+    mesh — axis size/index become constants and the all_to_all an
+    identity (this device's send buckets stand in for the received
+    buckets; same row count as the real average, tile distribution
+    approximated). Never set in production paths."""
+    if _emulate_d is not None:
+        d_ax = _emulate_d
+        my = jnp.asarray(_emulate_idx, jnp.int32)
+
+        def _exchange(x):
+            return x
+    else:
+        d_ax = jax.lax.axis_size(axis_name)
+        my = jax.lax.axis_index(axis_name)
+
+        def _exchange(x):
+            return jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
     gx, gy = cfg.grid
     assert gy == gy_local * d_ax, (gy, gy_local, d_ax)
     nt_local = gx * gy_local
@@ -138,8 +157,8 @@ def rasterize_band_gauss_sharded(
 
     # 3. ONE all-to-all each for metadata and features: recv[k] = what
     # device k sent to this band
-    meta_recv = jax.lax.all_to_all(meta_send, axis_name, 0, 0, tiled=True)
-    feat_recv = jax.lax.all_to_all(feat_send, axis_name, 0, 0, tiled=True)
+    meta_recv = _exchange(meta_send)
+    feat_recv = _exchange(feat_send)
 
     m_recv = d_ax * c_cap
     rm = jax.lax.stop_gradient(meta_recv.reshape(m_recv, 3))
@@ -159,19 +178,31 @@ def rasterize_band_gauss_sharded(
 
     if cfg.use_pallas:
         pad_len = 2 * chunk + (-m_recv) % chunk
-        feat_pad = jnp.concatenate(
-            [feat_sorted, jnp.zeros((pad_len, tile_blend.FEAT))])
         tile_pad = jnp.concatenate(
             [st, jnp.full((pad_len,), nt_local, jnp.int32)])
         live_pad = jnp.concatenate(
             [tiles.in_count, jnp.zeros((pad_len,), bool)])
-        # per-pair feature cotangents come straight out of the blend VJP
-        # (pack_features layout) and route back through [perm] + the
-        # all_to_all transpose to the owning shard
-        color_t, final_t_t, _ = tile_blend.blend_sorted_features(
-            feat_pad, tile_pad, live_pad, tiles.block_tile,
-            tiles.aligned_starts, tiles.starts, tiles.counts,
-            tiles.sorted_shift, gx, nt_local, p_cap, chunk)
+        # Fused gather+blend: the received buffer IS the feature table
+        # and `perm` the (bijective) gather — counts are all ones, so
+        # blend_table_fused's counted reduction routes the kernel's
+        # aligned-domain gradient rows straight back onto received rows
+        # (sort + wide gather + degenerate tree) instead of the XLA
+        # scatter-add the plain [perm] gather's VJP would emit
+        # (~16 ns/row — the single-chip round-3 lesson, PERF.md). The
+        # cotangents then route through the all_to_all transpose to the
+        # owning shard exactly as before.
+        feat_table = jnp.concatenate(
+            [feat_recv.reshape(m_recv, tile_blend.FEAT),
+             jnp.zeros((1, tile_blend.FEAT))])
+        gid_pad = jnp.concatenate(
+            [perm, jnp.full((pad_len,), m_recv, jnp.int32)])
+        counts_full = jnp.concatenate(
+            [jnp.ones((m_recv,), jnp.int32),
+             jnp.asarray([pad_len], jnp.int32)])
+        color_t, final_t_t, _ = tile_blend.blend_table_fused(
+            feat_table, gid_pad, counts_full, tile_pad, live_pad,
+            tiles.block_tile, tiles.aligned_starts, tiles.starts,
+            tiles.counts, tiles.sorted_shift, gx, nt_local, p_cap, chunk)
     else:
         lists = binning.tile_id_lists(
             tiles._replace(sorted_gid=jnp.arange(m_recv, dtype=jnp.int32)),

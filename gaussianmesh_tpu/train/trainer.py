@@ -459,6 +459,19 @@ class MeshTrainer:
 
     def train(self, iterations: int | None = None,
               log_every: int = 50, callback=None) -> list[dict]:
+        """Run `iterations` steps, batching up to `steps_per_dispatch`
+        iterations into one device dispatch between python-side events
+        (densify / opacity reset / SH bump / save boundaries).
+
+        Timing-fidelity note: with steps_per_dispatch > 1, all logged
+        iterations inside one dispatch share a single post-dispatch
+        `elapsed` and `n_alive` snapshot — per-iteration wall-clock
+        attribution inside a segment is NOT meaningful (the relay's
+        ~30 ms dispatch latency is amortized over the whole segment, the
+        point of batching), and `callback` observes mid-segment metrics
+        only after the segment completes. Consumers needing exact
+        per-iter timing should construct the trainer with
+        steps_per_dispatch=1."""
         opt = self.opt
         iterations = iterations or opt.iterations
         t0 = time.time()

@@ -250,3 +250,27 @@ def test_overflow_clamped_tiles_with_odd_granule_offsets(chunk):
                                np.asarray(out_j.color), atol=5e-5)
     np.testing.assert_allclose(np.asarray(out_p.final_t),
                                np.asarray(out_j.final_t), atol=5e-5)
+
+
+def test_composite_static_pairs_matches_monolithic(scene):
+    """rasterize_composite (cached static pair domain, BASELINE config 5)
+    == rasterize of the concatenated scene. Distinct depths everywhere,
+    so the depth-tie emission-order caveat never triggers."""
+    from gaussianmesh_tpu.ops.rasterize import (precompute_static_pairs,
+                                                rasterize_composite)
+    cam, sc = scene
+    sc2 = random_gaussians(300, seed=11)
+    cfg = _cfg(False)
+    static = precompute_static_pairs(sc2["means3d"], sc2["cov6"],
+                                     sc2["opacity"], sc2["rgb"], cam, cfg)
+    out_c = rasterize_composite(sc["means3d"], sc["cov6"], sc["opacity"],
+                                sc["rgb"], BG, cam, cfg, static)
+    cat = {k: jnp.concatenate([sc[k], sc2[k]]) for k in
+           ("means3d", "cov6", "opacity", "rgb")}
+    out_m = rasterize(cat["means3d"], cat["cov6"], cat["opacity"],
+                      cat["rgb"], BG, cam, cfg)
+    assert int(out_c.pair_overflow) == 0
+    np.testing.assert_allclose(np.asarray(out_c.color),
+                               np.asarray(out_m.color), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_c.final_t),
+                               np.asarray(out_m.final_t), atol=3e-5)

@@ -38,6 +38,7 @@ def small_scene():
     return cam, sc, cfg
 
 
+@pytest.mark.tpu_fast
 def test_compiled_forward_matches_jnp(small_scene):
     cam, sc, cfg = small_scene
     args = (sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"], BG, cam)
@@ -52,6 +53,7 @@ def test_compiled_forward_matches_jnp(small_scene):
                                np.asarray(out_j.final_t), atol=5e-5)
 
 
+@pytest.mark.tpu_fast
 def test_compiled_grads_match_jnp(small_scene):
     cam, sc, cfg = small_scene
 
@@ -184,10 +186,14 @@ def test_train_quality_gate_compiled():
     trainer = MeshTrainer(v1, f1, ds, opt, rt, spatial_lr_scale=3.2,
                           init_target=600, max_sh_degree=1)
     n0 = int(trainer.binding.alive.sum())
-    trainer.train(iterations=1500, log_every=500)
+    gate_iters = int(__import__("os").environ.get("GM_TPU_GATE_ITERS", 1500))
+    trainer.train(iterations=gate_iters, log_every=500)
     assert int(trainer.binding.alive.sum()) > n0   # densify fired
     psnr = trainer.eval_psnr(indices=range(0, 16, 4))
-    assert psnr > 20.0, psnr
+    if gate_iters >= 1500:
+        assert psnr > 20.0, psnr
+    else:                      # budget run: smoke floor only
+        assert psnr > 10.0, psnr
 
 
 @pytest.mark.parametrize("steps", [2, 4])

@@ -179,12 +179,15 @@ def main():
     out["config5_n_gauss_total"] = int(
         sum(int(o.n) for o in editor.objects.values()) + nbg)
 
-    # fused composite frame fn (same structure as edit_step's body, on
-    # one device), frames batched per dispatch so the relay tick
-    # amortizes exactly like config 3
+    # fused composite frame fn: the static objects + background are
+    # pre-expanded ONCE into a cached pair domain (rasterize_composite)
+    # — only the deforming object re-runs preprocess/expansion per
+    # frame. Frames batched per dispatch so the relay tick amortizes
+    # exactly like config 3.
     from gaussianmesh_tpu.edit.runtime import deformed_object_arrays
     from gaussianmesh_tpu.models.render import concat_arrays
-    from gaussianmesh_tpu.ops.rasterize import rasterize
+    from gaussianmesh_tpu.ops.rasterize import (precompute_static_pairs,
+                                                rasterize_composite)
     main_obj = editor.objects["main"]
     static_arrays = None
     for name, other in editor.objects.items():
@@ -197,12 +200,15 @@ def main():
     cfg5 = RasterizerConfig(width=WIDTH, height=HEIGHT, max_per_tile=1024,
                             blend_chunk=256, use_pallas=True)
     bg_color = jnp.zeros(3)
+    static5 = jax.jit(precompute_static_pairs, static_argnames=("cfg",))(
+        static_arrays.xyz, static_arrays.cov6, static_arrays.opacity,
+        static_arrays.rgb, cam, cfg5, active_mask=static_arrays.active)
 
     def frame5(v_def):
-        arrays = concat_arrays(
-            deformed_object_arrays(main_obj, v_def, cam), static_arrays)
-        o = rasterize(arrays.xyz, arrays.cov6, arrays.opacity, arrays.rgb,
-                      bg_color, cam, cfg5, active_mask=arrays.active)
+        arrays = deformed_object_arrays(main_obj, v_def, cam)
+        o = rasterize_composite(arrays.xyz, arrays.cov6, arrays.opacity,
+                                arrays.rgb, bg_color, cam, cfg5, static5,
+                                active_mask=arrays.active)
         return o.color
 
     @jax.jit
@@ -220,6 +226,60 @@ def main():
     out["config5_ms_per_frame"] = round(dt5 * 1e3, 2)
     out["config5_fps"] = round(1.0 / dt5, 1)
     out["config5_mean_px"] = float(jnp.mean(means5))
+
+    # --- config 5, tile axis (parallel/edit_step regime) ---------------
+    # BASELINE config 5 is "multi-host tile+Gaussian sharded real-time
+    # deformation": the edit_step forward path has NO collectives
+    # (deform/preprocess replicated; bands disjoint), so per-device
+    # per-frame latency IS the per-band critical path. One real chip
+    # here: each band of the D-way split is measured separately (same
+    # emulation style as tools/bench_scaling.py's tile_bands) and the
+    # critical path (max band) reported per D. Compute is MEASURED; the
+    # multi-chip claim assumes only that D chips run their bands
+    # concurrently (no communication to model on this path).
+    from gaussianmesh_tpu.models.render import GaussianArrays  # noqa: F401
+    from gaussianmesh_tpu.parallel.train_step import rasterize_band
+    tile_axis = {}
+    for d in (2, 4):
+        gy = (HEIGHT + 15) // 16
+        gy_pad = -(-gy // d) * d
+        h_pad = gy_pad * 16
+        gy_local = gy_pad // d
+        bcfg = RasterizerConfig(width=WIDTH, height=h_pad,
+                                max_per_tile=1024, blend_chunk=256,
+                                use_pallas=True)
+
+        def frame_band(v_def, y0, d=d, bcfg=bcfg, gy_local=gy_local):
+            arrays = concat_arrays(
+                deformed_object_arrays(main_obj, v_def, cam),
+                static_arrays)
+            o = rasterize_band(arrays, cam, bcfg, gy_local, y0, bg_color)
+            return o.color
+
+        @jax.jit
+        def runb_means(vs, y0):
+            return jax.lax.map(
+                lambda vd: jnp.mean(frame_band(vd, y0)), vs)
+
+        per_band = []
+        for k in range(d):
+            y0 = jnp.asarray(k * gy_local, jnp.int32)
+            ms_ = runb_means(frames, y0)
+            _ = float(ms_[-1])
+            t0 = time.perf_counter()
+            ms_ = runb_means(frames, y0)
+            _ = float(ms_[-1])
+            rawb = time.perf_counter() - t0
+            per_band.append(round(
+                (rawb - _calibration()) / FRAMES * 1e3, 2))
+        crit = max(per_band)
+        tile_axis[d] = {"per_band_ms": per_band, "critical_ms": crit,
+                        "fps": round(1e3 / crit, 1)}
+    out["config5_tile_axis"] = {
+        "note": ("per-band compute MEASURED on one chip (emulated band "
+                 "split, edit_step's zero-collective forward); fps = "
+                 "1 / critical band latency assuming D concurrent chips"),
+        "per_d": tile_axis}
 
     # ---------------- config 4: bg-composite training step ----------------
     # BASELINE config 4 (mesh + background training): one fwd+bwd step of

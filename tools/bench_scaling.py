@@ -171,18 +171,78 @@ def main():
                     "mean_ms": round(sum(per_band) / d, 2)}
     out["tile_bands"] = bands
 
-    # --- 3. exact communication accounting ------------------------------
-    # pair histogram over bands (for all_to_all capacity sizing)
+    # --- 2b. gauss-sharded regime: per-device compute at each D ---------
+    # The regime where the N-domain work actually shrinks by D: params,
+    # preprocess, expansion, pair features, gradient reduction and
+    # optimizer state are all N/D-sized, and each device blends one tile
+    # band of received pairs. Emulated on one chip via
+    # rasterize_band_gauss_sharded(_emulate_d=...): the collectives
+    # become identity, so this device's send buckets stand in for its
+    # received buckets — the received ROW COUNT equals the real
+    # per-device average by construction, while the received tile
+    # distribution is approximated (all-band destinations squashed into
+    # the local band). Communication is accounted separately (sections
+    # 3/5). Per-device critical path = max over the D shard slices.
+    from gaussianmesh_tpu.ops import binning
+    from gaussianmesh_tpu.parallel.gauss_shard import (
+        rasterize_band_gauss_sharded)
     prep = jax.jit(lambda m: prep_mod.preprocess(
         m, sc["cov6"], cam, WIDTH, HEIGHT, opacity=sc["opacity"]))(
             sc["means3d"])
-    from gaussianmesh_tpu.ops import binning
     exp = jax.jit(lambda p: binning.expand_pairs(
         p, *cfg.grid, cfg.expand_capacity(N_GAUSS), opacity=sc["opacity"],
         row_capacity=cfg.row_capacity(N_GAUSS)))(prep)
     tiles_of = np.asarray(exp.pair_tile)
+    gids_of = np.asarray(exp.gid_slot)
     live = tiles_of < cfg.num_tiles
     gx, gy = cfg.grid
+
+    gbands = {}
+    for d in D_LIST:
+        n_local = N_GAUSS // d
+        gy_pad = -(-gy // d) * d
+        h_pad = gy_pad * 16
+        gy_local = gy_pad // d
+        # exact (shard, band) send-bucket histogram -> send capacity
+        shard_of = np.minimum(gids_of[live] // n_local, d - 1)
+        band_of = np.minimum(tiles_of[live] // gx // gy_local, d - 1)
+        buckets = np.zeros((d, d), np.int64)
+        np.add.at(buckets, (shard_of, band_of), 1)
+        send_cap = (-(-(int(buckets.max()) + 256) // 128)) * 128
+        bcfg = RasterizerConfig(width=WIDTH, height=h_pad,
+                                max_per_tile=1024, blend_chunk=128,
+                                pair_capacity_per_gaussian=9,
+                                row_capacity_per_gaussian=3,
+                                use_pallas=use_pallas)
+
+        def gstep(means_l, cov_l, op_l, rgb_l, myk, d=d, bcfg=bcfg,
+                  gy_local=gy_local, n_local=n_local, send_cap=send_cap):
+            def f(m):
+                arr = GaussianArrays(
+                    xyz=m, cov6=cov_l, opacity=op_l.reshape(-1),
+                    rgb=rgb_l, active=jnp.ones((n_local,), bool))
+                o = rasterize_band_gauss_sharded(
+                    arr, cam, bcfg, gy_local, "emulated", send_cap, bg,
+                    _emulate_d=d, _emulate_idx=myk)
+                return jnp.sum(o.color * o.color)
+            return jax.grad(f)(means_l)
+
+        loop = _scan_loop(gstep)      # ONE compile per D (myk is traced)
+        per_dev = []
+        for k in range(d):
+            sl = slice(k * n_local, (k + 1) * n_local)
+            ms = _timed(loop, sc["means3d"][sl], sc["cov6"][sl],
+                        sc["opacity"][sl], sc["rgb"][sl],
+                        jnp.asarray(k, jnp.int32)) - _calibration()
+            per_dev.append(round(ms, 2))
+        gbands[d] = {"send_capacity": send_cap,
+                     "bucket_max": int(buckets.max()),
+                     "per_device_ms": per_dev,
+                     "critical_ms": max(per_dev),
+                     "mean_ms": round(sum(per_dev) / d, 2)}
+    out["gauss_shard_bands"] = gbands
+
+    # --- 3. exact communication accounting ------------------------------
     comm = {}
     n_params_bytes = int(sum(
         np.prod(s) for s in [(N_GAUSS, 3), (N_GAUSS, 1), (N_GAUSS, 1, 3),
@@ -213,16 +273,23 @@ def main():
     # the parameter pytree per step. Modeled on the measured step time
     # and counted psum bytes with the stated link rates; no_overlap is
     # the worst case (XLA overlaps the psum with the backward).
-    data_eff = {}
+    data_eff = {"modeled": True,
+                "note": ("ANALYTIC MODEL, not an N>=2-host measurement: "
+                         "measured single-chip step time + counted psum "
+                         "bytes + the assumed ICI_GBPS/DCN_GBPS link "
+                         "rates (no multi-host hardware reachable from "
+                         "this container)")}
     for d in (2, 4, 8, 16):
         ar = 2 * (d - 1) / d * n_params_bytes
         t_ici = ar / (ICI_GBPS * 1e9) * 1e3
         t_dcn = ar / (DCN_GBPS * 1e9) * 1e3
         data_eff[d] = {
             "psum_mb": round(ar / 1e6, 1),
-            "eff_ici_no_overlap": round(plain_ms / (plain_ms + t_ici), 3),
-            "eff_dcn_no_overlap": round(plain_ms / (plain_ms + t_dcn), 3),
-            "eff_overlap": round(min(1.0, plain_ms / max(
+            "eff_model_ici_no_overlap": round(
+                plain_ms / (plain_ms + t_ici), 3),
+            "eff_model_dcn_no_overlap": round(
+                plain_ms / (plain_ms + t_dcn), 3),
+            "eff_model_overlap": round(min(1.0, plain_ms / max(
                 plain_ms, t_dcn)), 3),
         }
     out["data_axis_efficiency"] = data_eff
@@ -300,19 +367,66 @@ def main():
                                    "no_overlap and overlap bounds"},
         "per_d": eff}
 
+    # gauss-sharded regime: MEASURED per-device critical path (section
+    # 2b) + counted all_to_all payload at the modeled ICI rate. No psum
+    # for parameter gradients (the exchange transpose lands cotangents
+    # on the owner), so comm = 2x the pair payload (fwd exchange + its
+    # transpose in the backward).
+    geff = {}
+    for d in D_LIST:
+        if d == 1:
+            geff[d] = {"eff_no_overlap": 1.0, "eff_overlap": 1.0}
+            continue
+        t_comp = gbands[d]["critical_ms"]
+        a2a = 2.0 * comm[d]["a2a_bytes_per_dev"]
+        ici_ms = a2a / (ICI_GBPS * 1e6)
+        geff[d] = {
+            "t_comp_ms": t_comp,
+            "ici_comm_ms": round(ici_ms, 3),
+            "eff_no_overlap": round(plain_ms / (d * (t_comp + ici_ms)), 3),
+            "eff_overlap": round(plain_ms / (d * max(t_comp, ici_ms)), 3),
+        }
+    out["efficiency_model_gauss_shard"] = {
+        "assumptions": {"ici_gbps": ICI_GBPS,
+                        "comm": "2x all_to_all pair payload "
+                                "(forward exchange + backward transpose)",
+                        "compute": "MEASURED single-chip emulation "
+                                   "(gauss_shard_bands)"},
+        "per_d": geff}
+
+    # which axis/regime meets the >= 80% BASELINE bar
+    out["model_summary"] = {
+        "tile_axis_replicated_eff_d8": eff.get(8, {}).get("eff_overlap"),
+        "gauss_shard_eff_d8": geff.get(8, {}).get("eff_overlap"),
+        "data_axis_eff_d8_modeled": data_eff.get(8, {}).get(
+            "eff_model_overlap"),
+        "statement": (
+            "The DATA axis (one modeled gradient psum per step, "
+            "replicated compute) and the GAUSS-SHARDED tile axis "
+            "(measured per-device compute shrinking with D + counted "
+            "exchange bytes) are the axes racing the >= 80% multi-host "
+            "bar; the replicated (data x tile) regime's tile axis is "
+            "measured and capped by its replicated N-domain work and is "
+            "reported for honesty, not as the scaling story."),
+    }
+
     os.makedirs("results", exist_ok=True)
     with open("results/scaling.json", "w") as fh:
         json.dump(out, fh, indent=1)
-    best8 = eff.get(8, {})
+    best8 = max(eff.get(8, {}).get("eff_overlap") or 0.0,
+                geff.get(8, {}).get("eff_overlap") or 0.0)
     print(json.dumps({
         "metric": "scaling_efficiency_8dev_model",
-        "value": best8.get("eff_overlap"),
+        "value": best8,
         "unit": "fraction",
-        "vs_baseline": (round(best8.get("eff_overlap", 0.0) / 0.8, 3)
-                        if best8.get("eff_overlap") else 0.0),
+        "vs_baseline": round(best8 / 0.8, 3),
         "detail": {"plain_step_ms": out["plain_step_ms"],
                    "critical_band_ms": {d: bands[d]["critical_ms"]
                                         for d in D_LIST},
+                   "gauss_shard_critical_ms": {d: gbands[d]["critical_ms"]
+                                               for d in D_LIST},
+                   "tile_axis_eff8": eff.get(8, {}).get("eff_overlap"),
+                   "gauss_shard_eff8": geff.get(8, {}).get("eff_overlap"),
                    "sharded_1dev_step_ms": out["sharded_1dev_step_ms"],
                    "file": "results/scaling.json"},
     }), flush=True)

@@ -175,7 +175,11 @@ def main():
     for it in EVAL_ITERS:
         cli_render.main(["-m", model, "--iteration", str(it),
                          "--skip_train"])
-        cli_metrics.main(["-m", model])
+        # LPIPS_uncalibrated: deterministic seed-0 graph weights
+        # (eval/lpips.py::random_weights) — trajectory DELTAS are
+        # meaningful; the absolute value is NOT comparable to published
+        # LPIPS (calibrated field stays null without pretrained VGG16)
+        cli_metrics.main(["-m", model, "--lpips_uncalibrated"])
         with open(os.path.join(model, "results.json")) as f:
             res = json.load(f)
         traj[str(it)] = res[f"ours_{it}"]
@@ -196,6 +200,12 @@ def main():
         "train_seconds": round(train_s, 1),
         "iters_per_second": round(ITERS / train_s, 2),
         "trajectory": traj,
+        "lpips_note": ("LPIPS_uncalibrated uses the deterministic seed-0 "
+                       "graph weights (eval/lpips.py::random_weights): "
+                       "trajectory deltas are meaningful, absolute values "
+                       "are NOT comparable to published LPIPS; the "
+                       "calibrated LPIPS field stays null in this "
+                       "zero-egress container (no pretrained VGG16)"),
         "reset_note": ("evals at {2950, 3000, 3050} bracket the "
                        "iter-3000 opacity reset: the dip AT 3000 is the "
                        "eval running right after the reset (reference "
