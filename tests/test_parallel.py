@@ -521,3 +521,32 @@ def test_gauss_sharded_densify_matches_single_table():
     v1 = pool[vi[al, 0]]
     np.testing.assert_allclose(v1, np.asarray(res_s.binding.vertex1)[al],
                                atol=1e-6)
+
+
+def test_gauss_shard_emulation_d1_matches_single_chip():
+    """The scaling harness's _emulate_d hook (identity collectives): at
+    D=1 the emulated band step IS the real single-device step, so its
+    image must match the plain rasterizer."""
+    from tests.scenes import random_gaussians
+    from gaussianmesh_tpu.parallel import gauss_shard
+    from gaussianmesh_tpu.models.render import GaussianArrays
+
+    wt, ht = 64, 64
+    n = 300
+    sc = random_gaussians(n, seed=9)
+    cam = look_at_camera(wt, ht, distance=3.5)
+    cfg = RasterizerConfig(width=wt, height=ht, max_per_tile=256,
+                           use_pallas=False)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    arrays = GaussianArrays(xyz=sc["means3d"], cov6=sc["cov6"],
+                            opacity=sc["opacity"].reshape(-1),
+                            rgb=sc["rgb"], active=jnp.ones(n, bool))
+    out = gauss_shard.rasterize_band_gauss_sharded(
+        arrays, cam, cfg, gy_local=cfg.grid[1], axis_name="unused",
+        send_capacity=cfg.expand_capacity(n), bg=bg,
+        _emulate_d=1, _emulate_idx=0)
+    ref = rasterize(sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"],
+                    bg, cam, cfg)
+    assert int(out.send_overflow) == 0
+    np.testing.assert_allclose(np.asarray(out.color),
+                               np.asarray(ref.color), atol=3e-5)

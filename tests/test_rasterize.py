@@ -274,3 +274,28 @@ def test_composite_static_pairs_matches_monolithic(scene):
                                np.asarray(out_m.color), atol=3e-5)
     np.testing.assert_allclose(np.asarray(out_c.final_t),
                                np.asarray(out_m.final_t), atol=3e-5)
+
+
+def test_composite_pallas_interpret_matches_jnp(scene):
+    from gaussianmesh_tpu.ops.rasterize import (precompute_static_pairs,
+                                                rasterize_composite)
+    cam, sc = scene
+    sc2 = random_gaussians(300, seed=11)
+    cfg_j = _cfg(False)
+    static_j = precompute_static_pairs(sc2["means3d"], sc2["cov6"],
+                                       sc2["opacity"], sc2["rgb"], cam,
+                                       cfg_j)
+    out_j = rasterize_composite(sc["means3d"], sc["cov6"], sc["opacity"],
+                                sc["rgb"], BG, cam, cfg_j, static_j)
+    with jax.disable_jit():
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            cfg_p = _cfg(True)
+            static_p = precompute_static_pairs(
+                sc2["means3d"], sc2["cov6"], sc2["opacity"], sc2["rgb"],
+                cam, cfg_p)
+            out_p = rasterize_composite(
+                sc["means3d"], sc["cov6"], sc["opacity"], sc["rgb"], BG,
+                cam, cfg_p, static_p)
+    np.testing.assert_allclose(np.asarray(out_p.color),
+                               np.asarray(out_j.color), atol=3e-5)
