@@ -47,6 +47,7 @@ class BgTrainer:
         self.max_sh_degree = max_sh_degree
         self.spatial_lr_scale = spatial_lr_scale
         self.extent = spatial_lr_scale
+        self.white_background = white_background
         self.bg_const = jnp.ones(3) if white_background else jnp.zeros(3)
         self.remove_neighbor_iterations = set(remove_neighbor_iterations)
         self.key = jax.random.PRNGKey(rt.seed)
@@ -203,7 +204,14 @@ class BgTrainer:
             if it < opt.densify_until_iter and it > opt.densify_from_iter \
                     and it % densify_interval == 0:
                 self.densify()
-            if it % opt.opacity_reset_interval == 0:
+            # reset only inside the densify window (the reference nests
+            # it under `iteration < densify_until_iter`,
+            # train_bg_gaussian.py:139-152 — same bug class as the mesh
+            # trainer's round-5 protocol finding)
+            if (it < opt.densify_until_iter
+                    and (it % opt.opacity_reset_interval == 0
+                         or (self.white_background
+                             and it == opt.densify_from_iter))):
                 self.params = densify_mod.reset_opacity_bg(self.params)
                 adam = self.opt_state.adam._replace(
                     mu=self.opt_state.adam.mu.replace(

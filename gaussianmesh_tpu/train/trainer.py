@@ -112,6 +112,7 @@ class MeshTrainer:
         self.is_exist_bg = is_exist_bg
         self.max_sh_degree = max_sh_degree
         self.spatial_lr_scale = spatial_lr_scale
+        self.white_background = white_background
         self.bg_const = jnp.ones(3) if white_background else jnp.zeros(3)
         self.key = jax.random.PRNGKey(rt.seed)
 
@@ -497,7 +498,8 @@ class MeshTrainer:
                 _nxt(1000, it + 1) - 1,
                 _nxt(opt.densification_interval, it)
                 if it <= opt.densify_until_iter else it + (1 << 30),
-                _nxt(opt.opacity_reset_interval, it),
+                _nxt(opt.opacity_reset_interval, it)
+                if it <= opt.densify_until_iter else it + (1 << 30),
                 it + spd - 1,
             )
             k = end - it + 1
@@ -529,7 +531,19 @@ class MeshTrainer:
             if end < opt.densify_until_iter and end > opt.densify_from_iter \
                     and end % opt.densification_interval == 0:
                 self.densify()
-            if end % opt.opacity_reset_interval == 0:
+            # Opacity resets happen ONLY inside the densification window
+            # (the reference nests the reset under
+            # `iteration < opt.densify_until_iter`,
+            # train_mesh_gaussian.py:119-132): an unconditional
+            # `% 3000 == 0` reset kept nuking opacity at 15K..30K with
+            # no densification left to exploit it — found by the first
+            # full 30K protocol run (train loss recovered each time but
+            # the 30K snapshot was saved post-reset: test PSNR 9.9
+            # instead of ~30; round-5 log).
+            if (end < opt.densify_until_iter
+                    and (end % opt.opacity_reset_interval == 0
+                         or (self.white_background
+                             and end == opt.densify_from_iter))):
                 self.params = densify_mod.reset_opacity(self.params)
                 # the reference zeroes opacity's Adam moments on reset
                 # (replace_tensor_to_optimizer, gaussian_model.py:290-301)
