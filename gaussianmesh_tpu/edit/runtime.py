@@ -281,6 +281,52 @@ def make_playback_fn(obj: ObjectDeformer, cam_arrays: CameraArrays,
     return _playback_fns(obj, cam_arrays, cfg, bg_color)[0]
 
 
+def make_composite_playback_fn(editor: "SceneEditor", obj_name: str,
+                               cam_arrays: CameraArrays,
+                               cfg: RasterizerConfig, bg_color=None):
+    """BASELINE config-5 fast path: one object deforms against a scene
+    of static objects + background. The static part's (tile, depth,
+    gid) pair domain is pre-expanded ONCE per camera
+    (ops.rasterize.precompute_static_pairs) and merged into each
+    frame's dynamic expansion at the pair level — the reference re-runs
+    its whole pipeline on the concatenated scene every frame
+    (/root/reference/edittool/__init__.py:158-231). Returns a jitted
+    frame fn (deformed vertices in, (3, H, W) image out). NOT cached:
+    callers hold onto it for the sequence (the editor's object set and
+    the camera are baked in at build time)."""
+    from gaussianmesh_tpu.ops.rasterize import (precompute_static_pairs,
+                                                rasterize_composite)
+    obj = editor.objects[obj_name]
+    static_arrays = None
+    for name, other in editor.objects.items():
+        if name == obj_name:
+            continue
+        a = other.arrays(cam_arrays)
+        static_arrays = a if static_arrays is None else concat_arrays(
+            static_arrays, a)
+    bg_a = editor._bg_arrays(cam_arrays)
+    if bg_a is not None:
+        static_arrays = bg_a if static_arrays is None else concat_arrays(
+            static_arrays, bg_a)
+    if static_arrays is None:        # single object: plain playback fn
+        return make_playback_fn(obj, cam_arrays, cfg, bg_color)
+    bg = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
+    static = jax.jit(precompute_static_pairs, static_argnames=("cfg",))(
+        static_arrays.xyz, static_arrays.cov6, static_arrays.opacity,
+        static_arrays.rgb, cam_arrays, cfg,
+        active_mask=static_arrays.active)
+
+    @jax.jit
+    def frame_fn(v_def):
+        arrays = deformed_object_arrays(obj, v_def, cam_arrays)
+        out = rasterize_composite(arrays.xyz, arrays.cov6, arrays.opacity,
+                                  arrays.rgb, bg, cam_arrays, cfg, static,
+                                  active_mask=arrays.active)
+        return out.color
+
+    return frame_fn
+
+
 _PLAYBACK_CACHE_MAX = 8  # distinct (camera, cfg, bg) closures kept per object
 
 

@@ -54,9 +54,10 @@ def test_barycentric_weights():
     np.testing.assert_allclose(np.asarray(w2[0]), [0, 1, 0], atol=1e-5)
 
 
-def _make_object(tmp_path, seed=0):
+def _make_object(tmp_path, seed=0, offset=(0.0, 0.0, 0.0)):
     """Save a procedural mesh-gaussian model + its proxy mesh."""
     v, f = icosphere(1)
+    v = v + np.asarray(offset, v.dtype)
     rng = jax.random.PRNGKey(seed)
     p, b, mv, _ = mgs.create_from_mesh(jnp.asarray(v), jnp.asarray(f),
                                        capacity=f.shape[0], vertex_capacity=v.shape[0],
@@ -147,3 +148,33 @@ def test_native_acap_matches_jax():
     # reference-style call signature
     R9, S9 = nat.GetRS(v, v_def, 1, 2)
     assert R9.shape == (v.shape[0], 9)
+
+
+def test_composite_playback_matches_editor_render(tmp_path):
+    """make_composite_playback_fn (cached static pair domain) must match
+    SceneEditor.render of the same deformed scene."""
+    from gaussianmesh_tpu.edit.runtime import make_composite_playback_fn
+
+    ply_a, mesh_a, _, _ = _make_object(tmp_path)
+    editor = SceneEditor()
+    editor.add_object(ply_a, mesh_a, name="main")
+    # second, offset static object (fresh files)
+    sub = tmp_path / "b"
+    sub.mkdir()
+    v, f = icosphere(1)
+    ply_b, mesh_b, _, _ = _make_object(sub, offset=(1.4, 0.2, 0.0))
+    editor.add_object(ply_b, mesh_b, name="side")
+
+    cfg = RasterizerConfig(width=64, height=64, max_per_tile=256,
+                           use_pallas=False)
+    cam = look_at_camera(64, 64, distance=3.5)
+    cam_arrays = cam if not hasattr(cam, "arrays") else cam
+
+    v2 = v.copy()
+    v2[:, 1] *= 0.5
+    frame = make_composite_playback_fn(editor, "main", cam_arrays, cfg)
+    img_fast = np.asarray(frame(jnp.asarray(v2, jnp.float32)))
+
+    editor.deform_object("main", v2)
+    out = editor.render(cam_arrays, cfg, bg_color=jnp.zeros(3))
+    np.testing.assert_allclose(img_fast, np.asarray(out.color), atol=3e-5)

@@ -184,10 +184,9 @@ def main():
     # — only the deforming object re-runs preprocess/expansion per
     # frame. Frames batched per dispatch so the relay tick amortizes
     # exactly like config 3.
-    from gaussianmesh_tpu.edit.runtime import deformed_object_arrays
+    from gaussianmesh_tpu.edit.runtime import (deformed_object_arrays,
+                                               make_composite_playback_fn)
     from gaussianmesh_tpu.models.render import concat_arrays
-    from gaussianmesh_tpu.ops.rasterize import (precompute_static_pairs,
-                                                rasterize_composite)
     main_obj = editor.objects["main"]
     static_arrays = None
     for name, other in editor.objects.items():
@@ -200,16 +199,8 @@ def main():
     cfg5 = RasterizerConfig(width=WIDTH, height=HEIGHT, max_per_tile=1024,
                             blend_chunk=256, use_pallas=True)
     bg_color = jnp.zeros(3)
-    static5 = jax.jit(precompute_static_pairs, static_argnames=("cfg",))(
-        static_arrays.xyz, static_arrays.cov6, static_arrays.opacity,
-        static_arrays.rgb, cam, cfg5, active_mask=static_arrays.active)
-
-    def frame5(v_def):
-        arrays = deformed_object_arrays(main_obj, v_def, cam)
-        o = rasterize_composite(arrays.xyz, arrays.cov6, arrays.opacity,
-                                arrays.rgb, bg_color, cam, cfg5, static5,
-                                active_mask=arrays.active)
-        return o.color
+    frame5 = make_composite_playback_fn(editor, "main", cam, cfg5,
+                                        bg_color)
 
     @jax.jit
     def run5_means(vs):
