@@ -820,11 +820,16 @@ def _make_sorted_bwd_kernel(grid_x: int, chunk: int, num_tiles: int,
             # (p_cap, PIX) residual from HBM.
             parts = extract_feats(b, slot)
             featw = jnp.concatenate(parts, axis=1)        # (FEAT, chunk)
-            wmask = _window_mask(h0, G, ht_ref, astarts_ref, counts_ref,
-                                 num_tiles)
             raw_t = _raw_alphas_T(featw)                  # (chunk, PIX)
-            alpha_t = jnp.where((raw_t >= ALPHA_MIN) & wmask,
-                                jnp.minimum(raw_t, ALPHA_MAX), 0.0)
+            # No gated alpha / window mask here (unlike the forward):
+            # every use of alpha below is either glive-gated (dp) or
+            # multiplied by the stashed w (== 0 exactly on gated-out
+            # lanes), so the ungated a = min(raw, MAX) and its ratio
+            # a/(1-a) are safe — a <= 0.99 keeps the ratio finite, and
+            # dead lanes have raw == 0 exactly. Dropping the gating
+            # select chain + the window mask saves ~3 lane-op passes
+            # over (chunk, PIX) per block.
+            alpha_t = jnp.minimum(raw_t, ALPHA_MAX)
 
             # per-granule gradient rows: granules sharing a tile read the
             # first fetch (later ones were never fetched)
