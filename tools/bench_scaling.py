@@ -56,7 +56,10 @@ STEPS = 10
 FEAT_BYTES = 4 * (16 + 3)      # feature row + (tile, depth, gid) meta
 ICI_GBPS = 45.0                # effective per-direction all-reduce GB/s (v5e ring)
 DCN_GBPS = 12.5                # per-host effective GB/s
-D_LIST = (1, 2, 4, 8)
+# GM_SCALING_FAST=1 trims the per-band sweeps to the D=1 baseline + the
+# D=8 endpoint (the headline efficiency point) when the round's chip
+# budget is short; the full curve is the default.
+D_LIST = ((1, 8) if os.environ.get("GM_SCALING_FAST") else (1, 2, 4, 8))
 
 
 def _timed(loop_fn, *args):
