@@ -283,7 +283,8 @@ def make_playback_fn(obj: ObjectDeformer, cam_arrays: CameraArrays,
 
 def make_composite_playback_fn(editor: "SceneEditor", obj_name: str,
                                cam_arrays: CameraArrays,
-                               cfg: RasterizerConfig, bg_color=None):
+                               cfg: RasterizerConfig, bg_color=None,
+                               static_cfg: RasterizerConfig | None = None):
     """BASELINE config-5 fast path: one object deforms against a scene
     of static objects + background. The static part's (tile, depth,
     gid) pair domain is pre-expanded ONCE per camera
@@ -311,9 +312,15 @@ def make_composite_playback_fn(editor: "SceneEditor", obj_name: str,
     if static_arrays is None:        # single object: plain playback fn
         return make_playback_fn(obj, cam_arrays, cfg, bg_color)
     bg = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
+    # static_cfg lets callers size the STATIC pair-domain capacity to its
+    # measured load (the static set's pairs are known at build time; an
+    # oversized capacity makes every frame's blend walk dead blocks —
+    # overflow stays counted via the frame outputs)
+    if static_cfg is not None:
+        assert static_cfg.grid == cfg.grid, (static_cfg.grid, cfg.grid)
     static = jax.jit(precompute_static_pairs, static_argnames=("cfg",))(
         static_arrays.xyz, static_arrays.cov6, static_arrays.opacity,
-        static_arrays.rgb, cam_arrays, cfg,
+        static_arrays.rgb, cam_arrays, static_cfg or cfg,
         active_mask=static_arrays.active)
 
     @jax.jit

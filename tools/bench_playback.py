@@ -196,11 +196,17 @@ def main():
         static_arrays = a if static_arrays is None else concat_arrays(
             static_arrays, a)
     static_arrays = concat_arrays(static_arrays, editor._bg_arrays(cam))
+    import dataclasses
     cfg5 = RasterizerConfig(width=WIDTH, height=HEIGHT, max_per_tile=1024,
                             blend_chunk=256, use_pallas=True)
     bg_color = jnp.zeros(3)
-    frame5 = make_composite_playback_fn(editor, "main", cam, cfg5,
-                                        bg_color)
+    # static pair capacity sized to the static set's load (bg splats are
+    # small; ~5 live pairs/gaussian measured) — see make_composite_
+    # playback_fn's static_cfg contract; overflow is counted in-frame
+    frame5 = make_composite_playback_fn(
+        editor, "main", cam, cfg5, bg_color,
+        static_cfg=dataclasses.replace(cfg5, pair_capacity_per_gaussian=8,
+                                       row_capacity_per_gaussian=3))
 
     @jax.jit
     def run5_means(vs):
@@ -236,8 +242,16 @@ def main():
         gy_pad = -(-gy // d) * d
         h_pad = gy_pad * 16
         gy_local = gy_pad // d
+        # LOAD-SIZED band capacities (the bench_scaling lesson): an
+        # unscaled capacity makes every band walk the full one-device
+        # blend grid and measures capacity waste, not compute; overflow
+        # stays counted and recorded below
         bcfg = RasterizerConfig(width=WIDTH, height=h_pad,
                                 max_per_tile=1024, blend_chunk=256,
+                                pair_capacity_per_gaussian=max(
+                                    2, -(-10 // d) + 1),
+                                row_capacity_per_gaussian=max(
+                                    1, -(-4 // d)),
                                 use_pallas=True)
 
         def frame_band(v_def, y0, d=d, bcfg=bcfg, gy_local=gy_local):
@@ -245,27 +259,30 @@ def main():
                 deformed_object_arrays(main_obj, v_def, cam),
                 static_arrays)
             o = rasterize_band(arrays, cam, bcfg, gy_local, y0, bg_color)
-            return o.color
+            ovf = (o.tile_overflow + o.rect_overflow + o.pair_overflow)
+            return jnp.mean(o.color), ovf
 
         @jax.jit
         def runb_means(vs, y0):
-            return jax.lax.map(
-                lambda vd: jnp.mean(frame_band(vd, y0)), vs)
+            return jax.lax.map(lambda vd: frame_band(vd, y0), vs)
 
         per_band = []
+        band_ovf = []
         for k in range(d):
             y0 = jnp.asarray(k * gy_local, jnp.int32)
-            ms_ = runb_means(frames, y0)
+            ms_, ov_ = runb_means(frames, y0)
             _ = float(ms_[-1])
             t0 = time.perf_counter()
-            ms_ = runb_means(frames, y0)
+            ms_, ov_ = runb_means(frames, y0)
             _ = float(ms_[-1])
             rawb = time.perf_counter() - t0
             per_band.append(round(
                 (rawb - _calibration()) / FRAMES * 1e3, 2))
+            band_ovf.append(int(jnp.max(ov_)))
         crit = max(per_band)
         tile_axis[d] = {"per_band_ms": per_band, "critical_ms": crit,
-                        "fps": round(1e3 / crit, 1)}
+                        "fps": round(1e3 / crit, 1),
+                        "max_overflow": band_ovf}
     out["config5_tile_axis"] = {
         "note": ("per-band compute MEASURED on one chip (emulated band "
                  "split, edit_step's zero-collective forward); fps = "
@@ -277,7 +294,11 @@ def main():
     # the BgTrainer composite render (frozen 82K-Gaussian fg + 100K-
     # Gaussian bg) at 1080p, measured over many dispatched steps with the
     # relay tick subtracted.
+    # GM_PLAYBACK_SKIP4=1 skips this compile-heavy section (merge
+    # keeps the prior artifact's config-4 entries, below)
     try:
+        if os.environ.get("GM_PLAYBACK_SKIP4"):
+            raise RuntimeError("skipped via GM_PLAYBACK_SKIP4")
         from gaussianmesh_tpu.config import (OptimizationParams,
                                              RuntimeParams)
         from gaussianmesh_tpu.models import mesh_gaussians as mgs
@@ -318,7 +339,12 @@ def main():
         out["config4_error"] = f"{type(e).__name__}: {e}"
 
     os.makedirs("results", exist_ok=True)
-    with open("results/playback.json", "w") as fh:
+    path = "results/playback.json"
+    if os.path.exists(path):   # keep entries of skipped sections
+        prior = json.load(open(path))
+        prior.update(out)
+        out = prior
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({
         "metric": "playback_fps_1080p", "value": out["config3_fps"],
